@@ -1,0 +1,172 @@
+"""Flagship models: KeypointCompleter, its Cycle variant, and the linear
+autoencoder Embedding.
+
+Batch-first, padded-batch TPU re-design of the reference models
+(model.py:60-340).  One Flax module covers both KeypointCompleter
+(model.py:60-170) and KeypointCompleterCycle (model.py:212-321); the two
+differ only in
+
+  * positional-encoding application: A1 computes
+    ``token_norm(x) + pe + learned`` (model.py:128-132) while Cycle keeps an
+    extra pre-PE residual, ``token_norm(x) + (token_norm(x) + pe) + learned``
+    (model.py:283-284) — the ``pe_residual`` flag;
+  * PE table length: 2048 vs 512 (model.py:74-75 vs 226-227);
+  * target key-padding: A1 hardcodes ``tgt_key_padding_mask=None``
+    (model.py:143) while Cycle forwards it (model.py:294) — the
+    ``use_tgt_key_padding`` flag.
+
+Inputs are (B, T, K, 2) with an optional (B, T) validity mask; padded frames
+are excluded from attention so batched outputs equal the reference's
+batch-size-1 outputs exactly on real frames.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..data.keypoints import FRAME_FEATURES, NUM_COORDS, NUM_KEYPOINTS
+from ..ops import masks as mask_ops
+from .layers import (SwiGLU, TransformerCore, sinusoidal_positional_encoding,
+                     token_norm)
+
+
+def _expand_bias(bias, batch):
+    """Normalize a (T, T) / (B, T, T) additive bias to (B, 1, T, T)."""
+    if bias is None:
+        return None
+    if bias.ndim == 2:
+        bias = jnp.broadcast_to(bias, (batch,) + bias.shape)
+    return bias[:, None, :, :]
+
+
+class KeypointCompleter(nn.Module):
+    """Encoder-decoder keypoint-sequence inpainter.
+
+    Pipeline (reference model.py:100-170): flatten frame -> twin Linear
+    embeddings -> per-token norm -> sinusoidal + learned PE -> per-stream
+    SwiGLU -> post-LN transformer (src = masked stream, tgt = shifted
+    "filled" stream) -> SwiGLU -> token_norm(decoded + filled_emb) residual
+    -> swish self-gate -> Linear head -> (B, T, K, 2).
+    """
+
+    hidden_dim: int
+    num_layers: int
+    num_heads: int
+    input_size: int = FRAME_FEATURES
+    ff_dim: int = 2048
+    pe_max_len: int = 2048
+    pe_residual: bool = False          # True == Cycle variant
+    use_tgt_key_padding: bool = False  # True == Cycle variant
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        inputs: jnp.ndarray,                 # (B, T, K, 2) masked stream
+        filled: jnp.ndarray,                 # (B, T, K, 2) shifted stream
+        src_frame_mask: Optional[jnp.ndarray] = None,  # (B, T) 1 = missing
+        tgt_frame_mask: Optional[jnp.ndarray] = None,  # (B, T)
+        src_bias: Optional[jnp.ndarray] = None,        # (B, T, T) or (T, T)
+        tgt_bias: Optional[jnp.ndarray] = None,
+        valid_mask: Optional[jnp.ndarray] = None,      # (B, T) 1 = real frame
+    ) -> jnp.ndarray:
+        B, T = inputs.shape[0], inputs.shape[1]
+        if T > self.pe_max_len:
+            raise ValueError(
+                f"sequence length {T} exceeds pe_max_len={self.pe_max_len}; "
+                "raise pe_max_len or chunk the sequence")
+        x = inputs.reshape(B, T, -1).astype(self.dtype)
+        f = filled.reshape(B, T, -1).astype(self.dtype)
+
+        input_emb = nn.Dense(self.hidden_dim, dtype=self.dtype,
+                             name="input_embedding")(x)
+        filled_emb = nn.Dense(self.hidden_dim, dtype=self.dtype,
+                              name="filled_embedding")(f)
+
+        input_norm = token_norm(input_emb)
+        filled_norm = token_norm(filled_emb)
+
+        pe = sinusoidal_positional_encoding(
+            self.pe_max_len, self.hidden_dim, self.dtype)[:T]
+        learned_in = self.param(
+            "learned_input_pos", nn.initializers.uniform(scale=1.0),
+            (1, 1, self.hidden_dim), self.dtype)
+        learned_fill = self.param(
+            "learned_filled_pos", nn.initializers.uniform(scale=1.0),
+            (1, 1, self.hidden_dim), self.dtype)
+
+        if self.pe_residual:  # Cycle keeps a pre-PE residual (model.py:283)
+            input_pos = input_norm + (input_norm + pe) + learned_in
+            filled_pos = filled_norm + (filled_norm + pe) + learned_fill
+        else:                 # A1 (model.py:128-132)
+            input_pos = (input_norm + pe) + learned_in
+            filled_pos = (filled_norm + pe) + learned_fill
+
+        src = SwiGLU(self.hidden_dim, self.dtype,
+                     name="swiglu_input_prev")(input_pos)
+        tgt = SwiGLU(self.hidden_dim, self.dtype,
+                     name="swiglu_filled_prev")(filled_pos)
+
+        # ---- attention biases -------------------------------------------
+        enc_bias = _expand_bias(src_bias, B)
+        if src_frame_mask is not None:
+            # torch float key_padding_mask: values added to logits
+            kp = mask_ops.key_padding_additive(src_frame_mask)[:, None]
+            enc_bias = kp if enc_bias is None else enc_bias + kp
+
+        dec_bias = _expand_bias(tgt_bias, B)
+        if self.use_tgt_key_padding and tgt_frame_mask is not None:
+            kp = mask_ops.key_padding_additive(tgt_frame_mask)[:, None]
+            dec_bias = kp if dec_bias is None else dec_bias + kp
+
+        cross_bias = None
+        if valid_mask is not None:
+            pad = mask_ops.padding_bias(valid_mask)[:, None]
+            enc_bias = pad if enc_bias is None else enc_bias + pad
+            dec_bias = pad if dec_bias is None else dec_bias + pad
+            cross_bias = pad
+
+        decoded = TransformerCore(
+            self.hidden_dim, self.num_heads, self.num_layers, self.ff_dim,
+            self.dtype, name="transformer")(
+                src, tgt, enc_bias, dec_bias, cross_bias)
+
+        decoded = SwiGLU(self.hidden_dim, self.dtype,
+                         name="swiglu_decoded")(decoded)
+        decoded = token_norm(decoded + filled_emb)
+        decoded = decoded * jax.nn.sigmoid(decoded)  # swish self-gate
+        out = nn.Dense(self.input_size, dtype=self.dtype,
+                       name="fc_final")(decoded)
+        return out.reshape(B, T, NUM_KEYPOINTS, NUM_COORDS)
+
+
+def keypoint_completer_cycle(hidden_dim, num_layers, num_heads,
+                             **kw) -> KeypointCompleter:
+    """The Cycle variant (reference KeypointCompleterCycle,
+    model.py:212-321)."""
+    return KeypointCompleter(
+        hidden_dim=hidden_dim, num_layers=num_layers, num_heads=num_heads,
+        pe_max_len=512, pe_residual=True, use_tgt_key_padding=True, **kw)
+
+
+class Embedding(nn.Module):
+    """Linear autoencoder over flattened frames (reference
+    model.py:324-340), pre-trained by the A3 regime."""
+
+    hidden_dim: int
+    input_size: int = FRAME_FEATURES
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, T = x.shape[0], x.shape[1]
+        h = x.reshape(B, T, -1).astype(self.dtype)
+        h = nn.Dense(self.hidden_dim, dtype=self.dtype,
+                     name="input_embedding")(h)
+        h = nn.Dense(self.input_size, dtype=self.dtype,
+                     name="output_embedding")(h)
+        return h.reshape(B, T, NUM_KEYPOINTS, NUM_COORDS)

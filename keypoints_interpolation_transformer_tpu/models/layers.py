@@ -1,0 +1,179 @@
+"""Core Flax layers for the keypoint inpainter.
+
+These re-derive, batch-first and TPU-native, the exact numerical semantics of
+the reference model's building blocks (reference model.py):
+
+  * SwiGLU (model.py:11-22)
+  * sinusoidal positional encoding (model.py:24-50)
+  * token_norm — the reference applies torch ``InstanceNorm1d(hidden_dim)``
+    to sequence-first (T, 1, D) activations (model.py:69-70,124-125,150):
+    with batch dim T and channel dim 1, torch normalizes each token's D
+    features to zero mean / unit variance (eps 1e-5, no affine).  That is a
+    per-token LayerNorm without scale/offset, which is what we implement.
+  * multi-head attention with ADDITIVE float biases — torch adds float
+    ``attn_mask`` and float ``key_padding_mask`` values to the logits.
+  * post-LN transformer encoder/decoder layers with exact-erf GELU and
+    dim_feedforward=2048 (torch nn.Transformer defaults, model.py:84-90).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+LN_EPS = 1e-5  # torch LayerNorm / InstanceNorm default
+
+
+def token_norm(x, eps=LN_EPS):
+    """Per-token normalization over the feature axis, no affine params."""
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps)
+
+
+def sinusoidal_positional_encoding(max_len: int, dim: int,
+                                   dtype=jnp.float32) -> jnp.ndarray:
+    """(max_len, dim) sin/cos table — reference model.py:33-42."""
+    positions = jnp.arange(max_len, dtype=jnp.float32)[:, None]
+    div = jnp.exp(jnp.arange(0, dim, 2, dtype=jnp.float32)
+                  * (-math.log(10000.0) / dim))
+    pe = jnp.zeros((max_len, dim), jnp.float32)
+    pe = pe.at[:, 0::2].set(jnp.sin(positions * div))
+    pe = pe.at[:, 1::2].set(jnp.cos(positions * div))
+    return pe.astype(dtype)
+
+
+class SwiGLU(nn.Module):
+    """fc3(fc1(x) * sigmoid(fc2(x))), hidden == input dim as used."""
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x1 = nn.Dense(self.dim, dtype=self.dtype, name="fc1")(x)
+        x2 = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
+        return nn.Dense(self.dim, dtype=self.dtype, name="fc3")(
+            x1 * jax.nn.sigmoid(x2))
+
+
+class MultiHeadAttention(nn.Module):
+    """Batch-first MHA with additive-bias masking.
+
+    logits = (q @ k^T) / sqrt(head_dim) + bias, softmax over keys.
+    ``bias`` broadcasts against (B, H, Tq, Tk); float values are added
+    directly, matching torch's float-mask semantics.
+    """
+
+    dim: int
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q_in, kv_in, bias: Optional[jnp.ndarray] = None):
+        assert self.dim % self.num_heads == 0
+        hd = self.dim // self.num_heads
+
+        def heads(name, x):
+            y = nn.Dense(self.dim, dtype=self.dtype, name=name)(x)
+            return y.reshape(y.shape[:-1] + (self.num_heads, hd))
+
+        q = heads("q_proj", q_in)   # (B, Tq, H, hd)
+        k = heads("k_proj", kv_in)  # (B, Tk, H, hd)
+        v = heads("v_proj", kv_in)
+
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        logits = logits / math.sqrt(hd)
+        if bias is not None:
+            logits = logits + bias.astype(logits.dtype)
+        weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+
+        out = jnp.einsum("bhqk,bkhd->bqhd", weights, v,
+                         preferred_element_type=jnp.float32)
+        out = out.reshape(out.shape[:2] + (self.dim,)).astype(self.dtype)
+        return nn.Dense(self.dim, dtype=self.dtype, name="out_proj")(out)
+
+
+class FeedForward(nn.Module):
+    dim: int
+    ff_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.ff_dim, dtype=self.dtype, name="linear1")(x)
+        h = jax.nn.gelu(h, approximate=False)  # torch "gelu" is exact erf
+        return nn.Dense(self.dim, dtype=self.dtype, name="linear2")(h)
+
+
+class EncoderLayer(nn.Module):
+    """Post-LN: x = LN1(x + SA(x)); x = LN2(x + FF(x))."""
+
+    dim: int
+    num_heads: int
+    ff_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, bias=None):
+        x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm1")(
+            x + MultiHeadAttention(self.dim, self.num_heads, self.dtype,
+                                   name="self_attn")(x, x, bias))
+        x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm2")(
+            x + FeedForward(self.dim, self.ff_dim, self.dtype,
+                            name="ff")(x))
+        return x
+
+
+class DecoderLayer(nn.Module):
+    """Post-LN: self-attn, cross-attn, feed-forward."""
+
+    dim: int
+    num_heads: int
+    ff_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, memory, self_bias=None, cross_bias=None):
+        x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm1")(
+            x + MultiHeadAttention(self.dim, self.num_heads, self.dtype,
+                                   name="self_attn")(x, x, self_bias))
+        x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm2")(
+            x + MultiHeadAttention(self.dim, self.num_heads, self.dtype,
+                                   name="cross_attn")(x, memory, cross_bias))
+        x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm3")(
+            x + FeedForward(self.dim, self.ff_dim, self.dtype,
+                            name="ff")(x))
+        return x
+
+
+class TransformerCore(nn.Module):
+    """Encoder-decoder stack with final LayerNorms, as torch nn.Transformer
+    builds when given layer counts (model.py:84-90)."""
+
+    dim: int
+    num_heads: int
+    num_layers: int
+    ff_dim: int = 2048
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, src, tgt, src_bias=None, tgt_bias=None,
+                 cross_bias=None):
+        x = src
+        for i in range(self.num_layers):
+            x = EncoderLayer(self.dim, self.num_heads, self.ff_dim,
+                             self.dtype, name=f"encoder_{i}")(x, src_bias)
+        memory = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="encoder_norm")(x)
+
+        y = tgt
+        for i in range(self.num_layers):
+            y = DecoderLayer(self.dim, self.num_heads, self.ff_dim,
+                             self.dtype, name=f"decoder_{i}")(
+                                 y, memory, tgt_bias, cross_bias)
+        return nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="decoder_norm")(y)

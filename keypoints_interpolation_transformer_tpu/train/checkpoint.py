@@ -1,0 +1,145 @@
+"""Checkpointing: Orbax for native state, plus a converter for the
+reference's torch ``.pth`` schema.
+
+The reference saves ``{model_state_dict, optimizer_state_dict, input_size,
+hidden_dim, num_layers, num_heads, loss}`` on every new-best validation loss
+(A1_train.py:313-321).  ``load_reference_checkpoint`` maps that state dict
+onto our Flax parameter tree so a reference-trained model can be served /
+fine-tuned here and checked for 1e-4 MPJPE parity.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _t(x) -> np.ndarray:
+    return np.asarray(x, dtype=np.float32)
+
+
+def _linear(sd: Mapping[str, Any], prefix: str) -> Dict[str, np.ndarray]:
+    """torch Linear (out, in) weight -> flax Dense (in, out) kernel."""
+    return {"kernel": _t(sd[f"{prefix}.weight"]).T,
+            "bias": _t(sd[f"{prefix}.bias"])}
+
+
+def _layer_norm(sd, prefix):
+    return {"scale": _t(sd[f"{prefix}.weight"]),
+            "bias": _t(sd[f"{prefix}.bias"])}
+
+
+def _swiglu(sd, prefix):
+    return {f"fc{i}": _linear(sd, f"{prefix}.fc{i}") for i in (1, 2, 3)}
+
+
+def _attention(sd, prefix):
+    """torch MultiheadAttention packed in_proj -> separate q/k/v Dense."""
+    w = _t(sd[f"{prefix}.in_proj_weight"])  # (3D, D)
+    b = _t(sd[f"{prefix}.in_proj_bias"])    # (3D,)
+    d = w.shape[1]
+    out = {}
+    for i, name in enumerate(("q_proj", "k_proj", "v_proj")):
+        out[name] = {"kernel": w[i * d:(i + 1) * d].T,
+                     "bias": b[i * d:(i + 1) * d]}
+    out["out_proj"] = _linear(sd, f"{prefix}.out_proj")
+    return out
+
+
+def completer_params_from_torch(sd: Mapping[str, Any],
+                                num_layers: int) -> Dict[str, Any]:
+    """Map a reference KeypointCompleter/-Cycle state dict (model.py:60-321)
+    onto the Flax KeypointCompleter parameter tree."""
+    core: Dict[str, Any] = {}
+    for i in range(num_layers):
+        enc = f"transformer.encoder.layers.{i}"
+        core[f"encoder_{i}"] = {
+            "self_attn": _attention(sd, f"{enc}.self_attn"),
+            "ff": {"linear1": _linear(sd, f"{enc}.linear1"),
+                   "linear2": _linear(sd, f"{enc}.linear2")},
+            "norm1": _layer_norm(sd, f"{enc}.norm1"),
+            "norm2": _layer_norm(sd, f"{enc}.norm2"),
+        }
+        dec = f"transformer.decoder.layers.{i}"
+        core[f"decoder_{i}"] = {
+            "self_attn": _attention(sd, f"{dec}.self_attn"),
+            "cross_attn": _attention(sd, f"{dec}.multihead_attn"),
+            "ff": {"linear1": _linear(sd, f"{dec}.linear1"),
+                   "linear2": _linear(sd, f"{dec}.linear2")},
+            "norm1": _layer_norm(sd, f"{dec}.norm1"),
+            "norm2": _layer_norm(sd, f"{dec}.norm2"),
+            "norm3": _layer_norm(sd, f"{dec}.norm3"),
+        }
+    core["encoder_norm"] = _layer_norm(sd, "transformer.encoder.norm")
+    core["decoder_norm"] = _layer_norm(sd, "transformer.decoder.norm")
+
+    return {
+        "input_embedding": _linear(sd, "input_embedding"),
+        "filled_embedding": _linear(sd, "filled_embedding"),
+        "learned_input_pos": _t(sd["learned_input_positional_encoder"]),
+        "learned_filled_pos": _t(sd["learned_filled_positional_encoder"]),
+        "swiglu_input_prev": _swiglu(sd, "swiGlu_input_prev"),
+        "swiglu_filled_prev": _swiglu(sd, "swiGlu_filled_prev"),
+        "swiglu_decoded": _swiglu(sd, "swiGlu_decoded"),
+        "transformer": core,
+        "fc_final": _linear(sd, "fc_final"),
+    }
+
+
+def embedding_params_from_torch(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """Map the reference Embedding autoencoder (model.py:324-340)."""
+    return {"input_embedding": _linear(sd, "input_embedding"),
+            "output_embedding": _linear(sd, "output_embedding")}
+
+
+def load_reference_checkpoint(path: str):
+    """Load a reference ``.pth`` checkpoint; returns (params, hyperparams).
+
+    Requires torch (CPU) only at call time.
+    """
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    sd = {k: v.numpy() for k, v in ckpt["model_state_dict"].items()}
+    hyper = {k: ckpt[k] for k in
+             ("input_size", "hidden_dim", "num_layers", "num_heads")
+             if k in ckpt}
+    if any(k.startswith("transformer.") for k in sd):
+        params = completer_params_from_torch(sd, int(hyper["num_layers"]))
+    else:
+        params = embedding_params_from_torch(sd)
+    params = jax.tree.map(jnp.asarray, params)
+    return params, hyper
+
+
+# ---------------------------------------------------------------------------
+# Orbax native checkpointing
+# ---------------------------------------------------------------------------
+
+def save_train_state(directory: str, step: int, state) -> None:
+    """Persist the full train state (params, opt state, step, RNG key)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(directory, f"step_{step}"))
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, state, force=True)
+
+
+def restore_train_state(directory: str, step: int, template):
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(directory, f"step_{step}"))
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(path, template)
+
+
+def latest_step(directory: str):
+    if not os.path.isdir(directory):
+        return None
+    steps = [int(d.split("_", 1)[1]) for d in os.listdir(directory)
+             if d.startswith("step_")]
+    return max(steps) if steps else None
