@@ -1,0 +1,202 @@
+"""Synthetic missing-frame corruption — stateless, PRNG-keyed, vectorized.
+
+Re-derivation of the reference's ``put_missing_frames``
+(dataloader.py:314-436), THE data-corruption kernel, as pure functions of a
+``jax.random`` key with static shapes (padded videos + dynamic true length),
+so corruption fuses into the jitted preprocessing pipeline.
+
+Three modes, matching the reference:
+
+  * random   (dataloader.py:320-334): zero out 60% of frames chosen WITH
+    replacement; mask = 1 on chosen frames.
+  * blocks "all" (dataloader.py:337-361): 4-7 blocks of 3-8 consecutive
+    frames, one per equal section; the reference's offset expression
+    ``randint(0, min(0, ...))`` pins every offset to 0.
+  * blocks per-dataset (dataloader.py:364-419): block-count range derived
+    from the 25th/75th percentiles of Gaussian samples parameterized by the
+    dataset's *consecutive-missing* stats, and block-size range from its
+    *number-of-missing-blocks* stats (the reference swaps the two stat
+    groups relative to their names — reproduced faithfully), then one block
+    per section at a random offset.
+
+In block modes, missing frames are FILLED WITH A FREEZE-FRAME COPY of a
+reference frame — block 0 copies its end frame, later blocks copy the frame
+before the block (dataloader.py:424-434) — and because the reference copies
+in block order from a mutated buffer, a later block's reference frame may
+itself already be a copy; we reproduce that propagation with a resolved
+source-index map.
+
+RNG NOTE: the reference draws from Python/global RNG state; we use explicit
+key threading, so the *distribution* matches but individual draws differ.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+MAX_BLOCKS = 16  # static upper bound; >= any num_blocks the modes produce
+
+
+@dataclasses.dataclass(frozen=True)
+class DatasetMissingStats:
+    """Per-dataset missingness statistics (dataset_config.json schema)."""
+
+    mean_consecutive_missing: float
+    std_consecutive_missing: float
+    mean_number_missing_blocks: float
+    std_number_missing_blocks: float
+    samples: int
+
+
+def random_missing(key, video, t_actual=None):
+    """Zero 60% of frames (chosen with replacement).  (T, K, 2) -> same."""
+    T = video.shape[0]
+    t_actual = T if t_actual is None else t_actual
+    n_max = int(T * 0.6)
+    k_idx, = jax.random.split(key, 1)
+    idx = jax.random.randint(k_idx, (max(n_max, 1),), 0, jnp.maximum(t_actual, 1))
+    take = jnp.arange(max(n_max, 1)) < (t_actual * 6) // 10
+    mask = jnp.zeros(T, jnp.float32).at[idx].max(take.astype(jnp.float32))
+    out = jnp.where(mask[:, None, None] > 0, 0.0, video)
+    return out, mask
+
+
+def _freeze_fill(video, starts, ends, active, T):
+    """Apply block freeze-frame fill + mask, with in-order ref propagation.
+
+    Block i covers frames [starts[i], ends[i]); its reference frame is
+    ends[0] for i == 0 and starts[i] - 1 otherwise; refs resolve through
+    earlier blocks' copies (see module docstring).
+    """
+    frames = jnp.arange(T)
+    src_map = frames
+    mask = jnp.zeros(T, jnp.float32)
+    for i in range(starts.shape[0]):  # static MAX_BLOCKS unroll
+        ref = ends[i] if i == 0 else starts[i] - 1
+        ref = jnp.clip(ref, 0, T - 1)
+        resolved = src_map[ref]
+        in_block = jnp.logical_and(frames >= starts[i], frames < ends[i])
+        hit = jnp.logical_and(in_block, active[i])
+        src_map = jnp.where(hit, resolved, src_map)
+        mask = jnp.where(hit, 1.0, mask)
+    return video[src_map], mask
+
+
+def _blocks_from_sections(key, t, num_blocks, section, rest,
+                          size_min, size_max, random_offset: bool):
+    """Vectorized version of the reference's per-section block placement
+    (dataloader.py:344-361, 407-419)."""
+    i = jnp.arange(MAX_BLOCKS)
+    active = i < num_blocks
+    k_size, k_off = jax.random.split(key)
+    num_ceros = jax.random.randint(k_size, (MAX_BLOCKS,),
+                                   size_min, size_max + 1)
+    num_ceros = jnp.minimum(num_ceros, section)
+    is_last = i == (num_blocks - 1)
+    rest_i = jnp.where(is_last, rest, 0)
+    if random_offset:
+        hi = jnp.maximum(rest_i + section - num_ceros, 0)
+        offset = jax.random.randint(k_off, (MAX_BLOCKS,), 0, hi + 1)
+    else:
+        # mode "all": randint(0, min(0, ...)) == 0 (dataloader.py:356)
+        offset = jnp.zeros(MAX_BLOCKS, jnp.int32)
+    starts = section * i + offset
+    ends = jnp.minimum(starts + num_ceros, t - 1)
+    return starts, ends, active
+
+
+def missing_blocks_all(key, video, t_actual=None):
+    """Mode for dataset name 'all' (dataloader.py:337-361)."""
+    T = video.shape[0]
+    t = jnp.asarray(T if t_actual is None else t_actual)
+    k_nb, k_blocks = jax.random.split(key)
+    num_blocks = jax.random.randint(k_nb, (), 4, 8)
+    section = t // num_blocks          # no clamp in this mode (:341)
+    rest = t % num_blocks
+    starts, ends, active = _blocks_from_sections(
+        k_blocks, t, num_blocks, section, rest, 3, 8, random_offset=False)
+    return _freeze_fill(video, starts, ends, active, T)
+
+
+def missing_blocks_dataset(key, video, stats: DatasetMissingStats,
+                           t_actual=None):
+    """Per-dataset mode (dataloader.py:364-419)."""
+    T = video.shape[0]
+    t = jnp.asarray(T if t_actual is None else t_actual)
+    k_lim, k_size, k_nb, k_blocks = jax.random.split(key, 4)
+
+    # The reference draws `samples` Gaussians per call and takes the
+    # 25th/75th percentiles (dataloader.py:369-383).
+    lim = stats.mean_consecutive_missing + stats.std_consecutive_missing * \
+        jax.random.normal(k_lim, (stats.samples,))
+    siz = stats.mean_number_missing_blocks + \
+        stats.std_number_missing_blocks * \
+        jax.random.normal(k_size, (stats.samples,))
+    block_limit = jnp.percentile(lim, jnp.array([25.0, 75.0]))
+    block_size = jnp.percentile(siz, jnp.array([25.0, 75.0]))
+
+    nb_min = jnp.maximum(jnp.floor(block_limit[0]).astype(jnp.int32), 1)
+    nb_max = jnp.ceil(block_limit[1]).astype(jnp.int32)
+    nb_max = jnp.maximum(nb_max, nb_min)
+    bs_min = jnp.maximum(jnp.floor(block_size[0]).astype(jnp.int32), 1)
+    bs_max = jnp.ceil(block_size[1]).astype(jnp.int32)
+    bs_max = jnp.maximum(bs_max, bs_min)
+
+    num_blocks = jax.random.randint(k_nb, (), nb_min, nb_max + 1)
+    num_blocks = jnp.minimum(num_blocks, MAX_BLOCKS)
+    section = jnp.maximum(1, t // num_blocks)
+
+    # Widen sections (and shrink the block count) when they cannot host the
+    # largest block plus padding (dataloader.py:397-401): the widened
+    # section is bs_max + 4 itself, NOT recomputed from the new count.
+    need = bs_max + 4
+    adj = section < need
+    nb_adj = jnp.clip(t // jnp.maximum(need, 1), 1, MAX_BLOCKS)
+    num_blocks = jnp.where(adj, nb_adj, num_blocks)
+    section = jnp.where(adj, jnp.maximum(need, 1), section)
+    rest = t % num_blocks
+
+    starts, ends, active = _blocks_from_sections(
+        k_blocks, t, num_blocks, section, rest, bs_min, bs_max,
+        random_offset=True)
+    return _freeze_fill(video, starts, ends, active, T)
+
+
+def put_missing_frames(key, video, *, is_random_missing: bool = False,
+                       dataset_name: str = "all",
+                       stats: Optional[DatasetMissingStats] = None,
+                       t_actual=None):
+    """Dispatcher matching the reference's mode selection
+    (dataloader.py:314-436).  Returns (corrupted_video, missing_mask)."""
+    if is_random_missing:
+        return random_missing(key, video, t_actual)
+    if dataset_name == "all":
+        return missing_blocks_all(key, video, t_actual)
+    if stats is None:
+        raise ValueError(
+            f"dataset {dataset_name!r} needs DatasetMissingStats")
+    return missing_blocks_dataset(key, video, stats, t_actual)
+
+
+def zero_missing_frames(video, mask):
+    """Replace masked frames with zeros (A3/A4 input prep,
+    A4_train_with_pretrained.py:107-108)."""
+    return jnp.where(mask[..., None, None] > 0, 0.0, video)
+
+
+def add_sos(video, mask=None, sos_value: float = 1.0):
+    """Prepend an all-ones start-of-sequence frame; extend the mask with 0
+    (dataloader.py:482-493).  Works on (T, K, 2) or batched (B, T, K, 2)."""
+    pad = [(0, 0)] * video.ndim
+    pad[-3] = (1, 0)
+    out = jnp.pad(video, pad, constant_values=sos_value)
+    if mask is None:
+        return out
+    mpad = [(0, 0)] * mask.ndim
+    mpad[-1] = (1, 0)
+    return out, jnp.pad(mask, mpad, constant_values=0.0)

@@ -1,0 +1,278 @@
+"""Transforms: golden parity against loop oracles (normalization), cv2
+(homography), and structural property tests (corruption, augmentation,
+filters)."""
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from keypoints_interpolation_transformer_tpu.data.keypoints import body_map
+from keypoints_interpolation_transformer_tpu.transforms import augment
+from keypoints_interpolation_transformer_tpu.transforms.corruption import (
+    DatasetMissingStats, add_sos, missing_blocks_all, missing_blocks_dataset,
+    put_missing_frames, random_missing, zero_missing_frames)
+from keypoints_interpolation_transformer_tpu.transforms.filters import (
+    is_bad_video)
+from keypoints_interpolation_transformer_tpu.transforms.normalize import (
+    normalize_pose, normalize_pose_batch)
+
+BM = body_map()
+
+
+# ---------------------------------------------------------------------------
+# normalization
+# ---------------------------------------------------------------------------
+
+def _normalize_oracle(video):
+    """Frame/keypoint loop oracle for signing-space normalization, following
+    dataloader.py:71-140 step by step."""
+    v = video.copy()
+    i_ls = BM.index_of["pose_left_shoulder"]
+    i_rs = BM.index_of["pose_right_shoulder"]
+    i_re = BM.index_of["pose_right_eye"]
+    last = None
+    for t in range(len(v)):
+        if v[t, i_ls, 0] == 0.0 or v[t, i_rs, 0] == 0.0:
+            if last is None:
+                continue
+            start, end = last
+        else:
+            ls, rs = v[t, i_ls], v[t, i_rs]
+            head = np.hypot(ls[0] - rs[0], ls[1] - rs[1]) / 2
+            start = (0.5 - 3 * head, v[t, i_re, 1] - head / 2)
+            end = (0.5 + 3 * head, 0.5 + 3.5 * head)
+            last = (start, end)
+        for k in range(v.shape[1]):
+            if v[t, k, 0] == 0.0:
+                continue
+            nx = (v[t, k, 0] - start[0]) / (end[0] - start[0])
+            ny = (v[t, k, 1] - end[1]) / (start[1] - end[1])
+            v[t, k, 0] = nx
+            v[t, k, 1] = 1 - ny
+    return v
+
+
+def _synth_video(rng, t=12, zero_frames=(), zero_kps=()):
+    v = rng.uniform(0.1, 0.9, size=(t, 54, 2)).astype(np.float32)
+    for f in zero_frames:
+        v[f, BM.index_of["pose_left_shoulder"], 0] = 0.0
+    for (f, k) in zero_kps:
+        v[f, k, 0] = 0.0
+    return v
+
+
+def test_normalize_matches_loop_oracle(rng):
+    v = _synth_video(rng, zero_frames=[0, 3, 4], zero_kps=[(2, 20), (5, 7)])
+    got = np.asarray(normalize_pose(jnp.asarray(v)))
+    want = _normalize_oracle(v)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_normalize_leading_invalid_frames_untouched(rng):
+    v = _synth_video(rng, zero_frames=[0, 1])
+    got = np.asarray(normalize_pose(jnp.asarray(v)))
+    np.testing.assert_array_equal(got[:2], v[:2])  # no bbox yet
+    assert not np.allclose(got[2:], v[2:])
+
+
+def test_normalize_batch_vmap(rng):
+    vs = np.stack([_synth_video(rng), _synth_video(rng)])
+    got = np.asarray(normalize_pose_batch(jnp.asarray(vs)))
+    for b in range(2):
+        np.testing.assert_allclose(got[b], _normalize_oracle(vs[b]),
+                                   atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# corruption
+# ---------------------------------------------------------------------------
+
+def test_random_missing_zeroes_and_mask(rng):
+    v = rng.uniform(0.1, 1.0, size=(20, 54, 2)).astype(np.float32)
+    out, mask = random_missing(jax.random.key(0), jnp.asarray(v))
+    out, mask = np.asarray(out), np.asarray(mask)
+    assert mask.shape == (20,)
+    assert 1 <= mask.sum() <= 12  # 60% with replacement -> <= 12 unique
+    np.testing.assert_array_equal(out[mask == 1], 0.0)
+    np.testing.assert_array_equal(out[mask == 0], v[mask == 0])
+
+
+def test_random_missing_respects_t_actual(rng):
+    v = rng.uniform(0.1, 1.0, size=(20, 54, 2)).astype(np.float32)
+    out, mask = random_missing(jax.random.key(1), jnp.asarray(v), t_actual=10)
+    mask = np.asarray(mask)
+    assert mask[10:].sum() == 0          # padding untouched
+    assert 1 <= mask[:10].sum() <= 6
+
+
+def test_blocks_all_freeze_fill(rng):
+    v = rng.uniform(0.1, 1.0, size=(40, 54, 2)).astype(np.float32)
+    out, mask = missing_blocks_all(jax.random.key(2), jnp.asarray(v))
+    out, mask = np.asarray(out), np.asarray(mask)
+    assert mask.sum() > 0
+    # every masked frame is a freeze-frame copy of SOME original frame
+    # (possibly one a later block masks — the reference copies in block
+    # order from the mutating buffer)
+    for t in np.flatnonzero(mask):
+        assert any(np.array_equal(out[t], v[s]) for s in range(len(v))), t
+    # unmasked frames unchanged
+    np.testing.assert_array_equal(out[mask == 0], v[mask == 0])
+
+
+def test_blocks_all_block_structure(rng):
+    v = rng.uniform(0.1, 1.0, size=(60, 54, 2)).astype(np.float32)
+    for seed in range(5):
+        _, mask = missing_blocks_all(jax.random.key(seed), jnp.asarray(v))
+        mask = np.asarray(mask)
+        # blocks are per-section runs of <= 8 frames; adjacent blocks can
+        # merge when a block fills its whole section (offset is pinned to 0
+        # in mode "all"), so a maximal run spans at most 2 blocks
+        runs = np.diff(np.flatnonzero(np.diff(
+            np.concatenate([[0], mask, [0]]))).reshape(-1, 2), axis=1)
+        assert np.all(runs >= 1) and np.all(runs <= 16)
+        assert 1 <= len(runs) <= 7
+
+
+def test_blocks_dataset_mode(rng):
+    stats = DatasetMissingStats(
+        mean_consecutive_missing=4.0, std_consecutive_missing=2.0,
+        mean_number_missing_blocks=2.0, std_number_missing_blocks=1.0,
+        samples=200)
+    v = rng.uniform(0.1, 1.0, size=(50, 54, 2)).astype(np.float32)
+    out, mask = missing_blocks_dataset(jax.random.key(3), jnp.asarray(v),
+                                       stats)
+    out, mask = np.asarray(out), np.asarray(mask)
+    assert 0 < mask.sum() < 50
+    np.testing.assert_array_equal(out[mask == 0], v[mask == 0])
+
+
+def test_put_missing_frames_dispatch(rng):
+    v = jnp.asarray(rng.uniform(0.1, 1.0, size=(30, 54, 2)).astype(np.float32))
+    out, mask = put_missing_frames(jax.random.key(0), v,
+                                   is_random_missing=True)
+    assert np.asarray(mask).sum() > 0
+    out, mask = put_missing_frames(jax.random.key(0), v, dataset_name="all")
+    assert np.asarray(mask).sum() > 0
+
+
+def test_zero_missing_and_sos(rng):
+    v = rng.uniform(0.1, 1.0, size=(6, 54, 2)).astype(np.float32)
+    mask = np.array([0, 1, 0, 0, 1, 0], np.float32)
+    z = np.asarray(zero_missing_frames(jnp.asarray(v), jnp.asarray(mask)))
+    np.testing.assert_array_equal(z[1], 0.0)
+    np.testing.assert_array_equal(z[0], v[0])
+
+    out, m2 = add_sos(jnp.asarray(v), jnp.asarray(mask))
+    assert out.shape == (7, 54, 2)
+    np.testing.assert_array_equal(np.asarray(out)[0], 1.0)
+    np.testing.assert_array_equal(np.asarray(m2), [0, 0, 1, 0, 0, 1, 0])
+
+    batched = add_sos(jnp.asarray(v)[None])
+    assert batched.shape == (1, 7, 54, 2)
+
+
+# ---------------------------------------------------------------------------
+# augmentation
+# ---------------------------------------------------------------------------
+
+def test_rotate_is_isometry_about_center(rng):
+    v = rng.uniform(0.1, 0.9, size=(5, 54, 2)).astype(np.float32)
+    out = np.asarray(augment.rotate(jax.random.key(0), jnp.asarray(v)))
+    c = np.array([0.5, 0.5])
+    r_in = np.linalg.norm(v - c, axis=-1)
+    r_out = np.linalg.norm(out - c, axis=-1)
+    np.testing.assert_allclose(r_in, r_out, atol=1e-5)
+    assert not np.allclose(out, v)
+
+
+def test_rotate_double_hand_quirk(rng):
+    v = rng.uniform(0.1, 0.9, size=(3, 54, 2)).astype(np.float32)
+    key = jax.random.key(1)
+    twice = np.asarray(augment.rotate(key, jnp.asarray(v),
+                                      double_hand_rotation=True))
+    once = np.asarray(augment.rotate(key, jnp.asarray(v),
+                                     double_hand_rotation=False))
+    pose_only = [i for i in BM.pose if i not in BM.hand_identifiers]
+    np.testing.assert_allclose(twice[:, pose_only], once[:, pose_only],
+                               atol=1e-6)
+    hands = list(BM.hand_identifiers)
+    assert not np.allclose(twice[:, hands], once[:, hands])
+
+
+def test_homography_matches_cv2(rng):
+    src = np.array([[0, 1], [1, 1], [0, 0], [1, 0]], np.float32)
+    dst = rng.uniform(-0.2, 1.2, size=(4, 2)).astype(np.float32)
+    H_cv = cv2.getPerspectiveTransform(src, dst)
+    H_us = np.asarray(augment.perspective_transform_matrix(
+        jnp.asarray(src), jnp.asarray(dst)))
+    np.testing.assert_allclose(H_us / H_us[2, 2], H_cv / H_cv[2, 2],
+                               atol=1e-4)
+
+    pts = rng.uniform(0, 1, size=(7, 2)).astype(np.float32)
+    want = cv2.perspectiveTransform(pts[None], H_cv)[0]
+    got = np.asarray(augment.apply_homography(jnp.asarray(pts),
+                                              jnp.asarray(H_us)))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_shear_pins_zero_landmarks(rng):
+    v = rng.uniform(0.1, 0.9, size=(4, 54, 2)).astype(np.float32)
+    v[:, 5, :] = 0.0  # an undetected landmark
+    out = np.asarray(augment.shear(jax.random.key(2), jnp.asarray(v),
+                                   "squeeze"))
+    np.testing.assert_array_equal(out[:, 5, :], 0.0)
+    assert not np.allclose(out[:, 6, :], v[:, 6, :])
+
+
+def test_arm_joint_rotate_preserves_upstream_and_bones(rng):
+    v = rng.uniform(0.1, 0.9, size=(4, 54, 2)).astype(np.float32)
+    out = np.asarray(augment.arm_joint_rotate(
+        jax.random.key(3), jnp.asarray(v), probability=1.0))
+    chest = BM.index_of["pose_chest_middle_up"]
+    np.testing.assert_array_equal(out[:, chest], v[:, chest])  # chain root
+    # bone lengths along each chain preserved (rotations are isometries)
+    for chain in BM.arm_chains:
+        for a, b in zip(chain[:-1], chain[1:]):
+            li = np.linalg.norm(v[:, a] - v[:, b], axis=-1)
+            lo = np.linalg.norm(out[:, a] - out[:, b], axis=-1)
+            np.testing.assert_allclose(li, lo, atol=1e-5)
+    assert not np.allclose(out, v)
+
+
+def test_random_augment_gate(rng):
+    v = jnp.asarray(rng.uniform(0.1, 0.9, size=(4, 54, 2)).astype(np.float32))
+    out_never = augment.random_augment(jax.random.key(0), v, probability=0.0)
+    np.testing.assert_array_equal(np.asarray(out_never), np.asarray(v))
+    out_always = augment.random_augment(jax.random.key(0), v,
+                                        probability=1.0)
+    assert not np.allclose(np.asarray(out_always), np.asarray(v))
+    # jit-compatible
+    jitted = jax.jit(lambda k, v: augment.random_augment(k, v, 0.5))
+    jitted(jax.random.key(1), v)
+
+
+# ---------------------------------------------------------------------------
+# filters
+# ---------------------------------------------------------------------------
+
+def test_filter_short_and_empty(rng):
+    assert is_bad_video(np.zeros((5, 54, 2), np.float32))
+    assert not is_bad_video(np.zeros((0, 54, 2), np.float32))  # quirk
+
+
+def test_filter_bad_hands(rng):
+    v = rng.uniform(0.1, 0.9, size=(30, 54, 2)).astype(np.float32)
+    assert not is_bad_video(v)
+    bad = v.copy()
+    i = BM.index_of
+    # wrist coincides with thumb tip and middle dip on an inspected frame
+    bad[15, i["rightHand_thumb_tip"]] = bad[15, i["pose_right_wrist"]]
+    bad[15, i["rightHand_middle_finger_dip"]] = bad[15, i["pose_right_wrist"]]
+    assert is_bad_video(bad)
+
+    # ... but on the LAST inspected frame only, the reference keeps it
+    last = v.copy()
+    last[-9, i["rightHand_thumb_tip"]] = last[-9, i["pose_right_wrist"]]
+    last[-9, i["rightHand_middle_finger_dip"]] = last[-9, i["pose_right_wrist"]]
+    assert not is_bad_video(last)
