@@ -1,0 +1,169 @@
+"""Benchmark: interpolated keypoint-frames/sec/chip on the flagship model.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Workload: masked-frame inpainting inference (forward + composite) with the
+reference's comparable configuration (hidden_dim=256, num_layers=6,
+num_heads=8, 54x2 keypoints — parseMain.py defaults) over batched padded
+clips on the available chip.
+
+vs_baseline: speedup over the CPU reference pattern — a torch
+nn.Transformer-based equivalent run the way the reference runs it
+(batch_size=1, one python-loop video at a time, A1_train.py:244-245) —
+measured live when torch is importable, else a recorded constant.
+
+Numerics: bf16 MXU throughput is reported only if its masked-frame MPJPE
+deviates < 1e-4 from the f32-highest forward (the BASELINE.json parity
+bar); otherwise the f32 number is reported.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BATCH, T, K = 32, 128, 54
+HIDDEN, LAYERS, HEADS = 256, 6, 8
+STEPS = 8
+TORCH_BASELINE_VIDEOS = 6
+FALLBACK_CPU_FPS = 40.0  # measured torch CPU reference-pattern fallback
+
+
+def _workload(rng):
+    clean = rng.uniform(0.2, 0.8, (BATCH, T, K, 2)).astype(np.float32)
+    miss = (rng.uniform(size=(BATCH, T)) < 0.3).astype(np.float32)
+    masked = np.where(miss[..., None, None] > 0, 0.0, clean)
+    return clean, miss, masked
+
+
+def bench_jax():
+    import jax
+    import jax.numpy as jnp
+
+    from keypoints_interpolation_transformer_tpu.models.completer import (
+        KeypointCompleter)
+    from keypoints_interpolation_transformer_tpu.ops.losses import (
+        composite_prediction)
+    from keypoints_interpolation_transformer_tpu.ops.masks import (
+        attention_bias)
+
+    rng = np.random.default_rng(0)
+    clean_np, miss_np, masked_np = _workload(rng)
+    clean, miss, masked = (jnp.asarray(x) for x in
+                           (clean_np, miss_np, masked_np))
+
+    model = KeypointCompleter(hidden_dim=HIDDEN, num_layers=LAYERS,
+                              num_heads=HEADS)
+    params = model.init(jax.random.key(0), masked[:, :8], masked[:, :8])
+
+    def fwd(params, masked, clean, miss):
+        bias = attention_bias("repeat-inc", miss, T)
+        pred = model.apply(params, masked, clean, src_frame_mask=miss,
+                           src_bias=bias, tgt_bias=bias)
+        return composite_prediction(pred, clean, miss)
+
+    def timed(precision):
+        with jax.default_matmul_precision(precision):
+            f = jax.jit(fwd)
+            out = f(params, masked, clean, miss)
+            out.block_until_ready()          # compile + warm
+            t0 = time.perf_counter()
+            for _ in range(STEPS):
+                out = f(params, masked, clean, miss)
+            out.block_until_ready()
+            dt = time.perf_counter() - t0
+        fps = BATCH * T * STEPS / dt
+        return fps, np.asarray(out)
+
+    fps_hi, out_hi = timed("highest")
+    fps_bf, out_bf = timed("default")
+
+    # masked-frame MPJPE delta between bf16 and f32-highest forwards
+    d = np.sqrt(((out_bf - out_hi) ** 2).sum(-1))          # (B, T, K)
+    w = miss_np[..., None]
+    mpjpe_delta = float((d * w).sum() / max(w.sum() * K, 1.0))
+
+    if mpjpe_delta < 1e-4:
+        return fps_bf, {"precision": "bf16_matmul",
+                        "mpjpe_delta_vs_f32": mpjpe_delta,
+                        "f32_fps": fps_hi}
+    return fps_hi, {"precision": "f32_highest",
+                    "mpjpe_delta_bf16": mpjpe_delta,
+                    "bf16_fps": fps_bf}
+
+
+def bench_torch_reference_pattern():
+    """The CPU reference pattern: batch-1 python loop, torch built-ins."""
+    try:
+        import torch
+        import torch.nn as tnn
+    except ImportError:
+        return None
+
+    torch.set_num_threads(max(1, __import__("os").cpu_count() or 1))
+
+    class SwiGLU(tnn.Module):
+        def __init__(self, d):
+            super().__init__()
+            self.a, self.b, self.c = (tnn.Linear(d, d) for _ in range(3))
+
+        def forward(self, x):
+            return self.c(self.a(x) * torch.sigmoid(self.b(x)))
+
+    d = HIDDEN
+    emb1, emb2 = tnn.Linear(K * 2, d), tnn.Linear(K * 2, d)
+    norm = tnn.InstanceNorm1d(d)
+    g1, g2, g3 = SwiGLU(d), SwiGLU(d), SwiGLU(d)
+    core = tnn.Transformer(d_model=d, nhead=HEADS, activation="gelu",
+                           dropout=0.0, num_encoder_layers=LAYERS,
+                           num_decoder_layers=LAYERS)
+    head = tnn.Linear(d, K * 2)
+
+    rng = np.random.default_rng(0)
+    videos = [rng.uniform(0.2, 0.8, (T, K, 2)).astype(np.float32)
+              for _ in range(TORCH_BASELINE_VIDEOS)]
+    masks = [(rng.uniform(size=T) < 0.3).astype(np.float32)
+             for _ in range(TORCH_BASELINE_VIDEOS)]
+
+    def one_video(v, m):
+        x = torch.from_numpy(v).flatten(1).unsqueeze(1)
+        mask = torch.from_numpy(m)
+        sq = torch.from_numpy(
+            np.where((m[None, :] == 1) & (np.arange(T)[:, None] <
+                                          np.arange(T)[None, :]),
+                     -np.inf, 0.0).astype(np.float32))
+        a, b = norm(emb1(x)), norm(emb2(x))
+        out = core(g1(a), g2(b), src_mask=sq, tgt_mask=sq,
+                   src_key_padding_mask=mask.unsqueeze(0))
+        out = norm(g3(out) + emb2(x))
+        out = out * torch.sigmoid(out)
+        return head(out.transpose(0, 1))
+
+    with torch.no_grad():
+        one_video(videos[0], masks[0])  # warm
+        t0 = time.perf_counter()
+        for v, m in zip(videos, masks):
+            one_video(v, m)
+        dt = time.perf_counter() - t0
+    return TORCH_BASELINE_VIDEOS * T / dt
+
+
+def main():
+    from keypoints_interpolation_transformer_tpu.utils.compilation_cache \
+        import enable_compilation_cache
+    enable_compilation_cache()
+    fps, extra = bench_jax()
+    cpu_fps = bench_torch_reference_pattern() or FALLBACK_CPU_FPS
+    result = {
+        "metric": "interpolated keypoint-frames/sec/chip",
+        "value": round(fps, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / cpu_fps, 2),
+    }
+    print(json.dumps(result))
+    # context on stderr-ish second line is NOT allowed; keep one line only.
+
+
+if __name__ == "__main__":
+    main()

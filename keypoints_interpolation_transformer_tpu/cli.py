@@ -1,0 +1,142 @@
+"""Command-line interface.
+
+Replaces the reference's per-script argparse entry points (A1-A4 trainers +
+evaluation scripts) with one CLI.  Flag names track parseMain.py:3-60.
+
+Usage:
+  python -m keypoints_interpolation_transformer_tpu.cli train --regime a1 \
+      --training_set_path data/training--AUTSL.hdf5 \
+      --validation_set_path data/validation--AUTSL.hdf5
+  python -m keypoints_interpolation_transformer_tpu.cli train --regime a1 \
+      --synthetic 64 --epochs 3          # hermetic synthetic run
+  python -m keypoints_interpolation_transformer_tpu.cli prepare ...
+  python -m keypoints_interpolation_transformer_tpu.cli eval-baselines ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from .utils.config import (Config, DataConfig, MeshConfig, ModelConfig,
+                           TrainConfig)
+
+
+def _add_common(p: argparse.ArgumentParser):
+    p.add_argument("--experiment_name", type=str, default=None)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--hidden_dim", type=int, default=256)
+    p.add_argument("--num_heads", type=int, default=8)
+    p.add_argument("--num_layers", type=int, default=6)
+    p.add_argument("--lr", type=float, default=5e-6)
+    p.add_argument("--epochs", type=int, default=500)
+    p.add_argument("--patience", type=int, default=50)
+    p.add_argument("--training_set_path", type=str, default="")
+    p.add_argument("--validation_set_path", type=str, default="")
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--max_seq_len", type=int, default=512)
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="use N synthetic videos instead of HDF5 paths")
+    p.add_argument("--mesh_data", type=int, default=1)
+    p.add_argument("--mesh_model", type=int, default=1)
+    p.add_argument("--precision", type=str, default="highest",
+                   choices=["highest", "high", "default"])
+    p.add_argument("--wandb", action="store_true")
+
+
+def _cfg_from_args(a, regime: str) -> Config:
+    from .utils.registry import dataset_name_from_path
+
+    name = "all"
+    if a.validation_set_path:
+        name = dataset_name_from_path(a.validation_set_path)
+    return Config(
+        model=ModelConfig(hidden_dim=a.hidden_dim, num_heads=a.num_heads,
+                          num_layers=a.num_layers,
+                          matmul_precision=a.precision),
+        data=DataConfig(dataset_name=name,
+                        training_set_path=a.training_set_path,
+                        validation_set_path=a.validation_set_path,
+                        batch_size=a.batch_size, max_seq_len=a.max_seq_len,
+                        synthetic_num_videos=a.synthetic, seed=a.seed),
+        mesh=MeshConfig(data=a.mesh_data, model=a.mesh_model),
+        train=TrainConfig(regime=regime, lr=a.lr, epochs=a.epochs,
+                          patience=a.patience, seed=a.seed,
+                          experiment_name=a.experiment_name,
+                          upload_model=getattr(a, "upload_model", None),
+                          upload_general_model=getattr(
+                              a, "upload_general_model", None),
+                          upload_embedding_model=getattr(
+                              a, "upload_embedding_model", None)),
+    )
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser("keypoints_interpolation_transformer_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_train = sub.add_parser("train", help="unified trainer (regimes a1-a4)")
+    _add_common(p_train)
+    p_train.add_argument("--regime", choices=["a1", "a2", "a3", "a4"],
+                         default="a1")
+    p_train.add_argument("--upload_model", type=str, default=None,
+                         help="a2: frozen first-model checkpoint")
+    p_train.add_argument("--upload_general_model", type=str, default=None)
+    p_train.add_argument("--upload_embedding_model", type=str, default=None)
+
+    p_prep = sub.add_parser("prepare", help="dataset ETL (reference "
+                            "1_prepare_dataset.py)")
+    p_prep.add_argument("--dataset", type=str, required=True)
+    p_prep.add_argument("--dataset_config", type=str,
+                        default="dataset_config.json")
+    p_prep.add_argument("--output_dir", type=str, default="data")
+    p_prep.add_argument("--synthetic", type=int, default=0,
+                        help="generate N synthetic videos instead")
+
+    p_base = sub.add_parser("eval-baselines", help="freeze-frame + cubic + "
+                            "quaternion baselines (reference 2_/3_/test_* "
+                            "scripts)")
+    _add_common(p_base)
+    p_base.add_argument("--which", type=str, default="all",
+                        choices=["all", "freeze", "cubic", "quaternion"])
+
+    p_infer = sub.add_parser("eval-model", help="checkpoint inference "
+                             "benchmark (the reference's empty "
+                             "3_test_IA_interpolation.py)")
+    _add_common(p_infer)
+    p_infer.add_argument("--checkpoint", type=str, required=True)
+
+    a = parser.parse_args(argv)
+
+    from .utils.compilation_cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    if a.cmd == "train":
+        from .train.loop import train
+        res = train(_cfg_from_args(a, a.regime), use_wandb=a.wandb)
+        print(json.dumps({
+            "best_val_loss": res.best_val_loss,
+            "best_epoch": res.best_epoch,
+            "epochs_run": res.epochs_run,
+            "checkpoint": res.checkpoint_path,
+        }))
+        return 0
+
+    if a.cmd == "prepare":
+        from .data.prepare import prepare_main
+        return prepare_main(a)
+
+    if a.cmd == "eval-baselines":
+        from .eval.baselines import baselines_main
+        return baselines_main(a)
+
+    if a.cmd == "eval-model":
+        from .eval.inference import inference_main
+        return inference_main(a)
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,197 @@
+"""Dataset runtime: ragged videos -> normalized, filtered, bucketed batches.
+
+TPU re-design of the reference's LSP_Dataset + DataLoader(batch_size=1)
+(dataloader.py:545-689, A1_train.py:244-245): instead of a per-video Python
+loop, videos are padded into length buckets and fed as (B, T_pad, 54, 2)
+batches with per-video length and weight vectors, so every downstream
+computation is a fixed-shape batched array program.  Per-video losses are
+exactly reproduced via frame-validity weights (see ops/losses.py).
+
+Corruption and augmentation are NOT applied here for training — they run
+fused inside the jitted train step (see train/steps.py), which is the
+"one vmapped XLA preprocessing kernel" design.  Validation corruption is
+precomputed once with a fixed key, mirroring the reference's
+create_validation_data (dataloader.py:604-621).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..transforms.corruption import add_sos, put_missing_frames
+from ..transforms.filters import filter_videos
+from ..transforms.normalize import normalize_pose_batch
+from ..utils.registry import dataset_name_from_path, missing_stats
+from .keypoints import NUM_COORDS, NUM_KEYPOINTS
+
+
+def bucket_length(t: int, multiple: int, max_len: int) -> int:
+    b = ((t + multiple - 1) // multiple) * multiple
+    return min(b, max_len)
+
+
+def pad_videos(videos: Sequence[np.ndarray], t_pad: int):
+    """Stack ragged videos into (B, t_pad, K, 2) + (B,) lengths."""
+    B = len(videos)
+    out = np.zeros((B, t_pad, NUM_KEYPOINTS, NUM_COORDS), np.float32)
+    lens = np.zeros(B, np.int32)
+    for i, v in enumerate(videos):
+        t = min(len(v), t_pad)
+        out[i, :t] = v[:t]
+        lens[i] = t
+    return out, lens
+
+
+@dataclasses.dataclass
+class Batch:
+    """One padded batch.  ``weight`` zeroes fill-duplicate rows so partially
+    filled buckets don't bias epoch means."""
+
+    clean: np.ndarray              # (B, T, K, 2)
+    length: np.ndarray             # (B,)
+    weight: np.ndarray             # (B,)
+    inputs: Optional[np.ndarray] = None   # (B, T+1, K, 2) precorrupted + SOS
+    mask: Optional[np.ndarray] = None     # (B, T+1)
+
+    @property
+    def valid(self) -> np.ndarray:
+        T = self.clean.shape[1]
+        return (np.arange(T)[None, :] < self.length[:, None]).astype(
+            np.float32)
+
+
+class KeypointDataset:
+    """Load -> normalize -> filter, held as host-side ragged float32 list."""
+
+    def __init__(self, videos: Optional[List[np.ndarray]] = None,
+                 path: Optional[str] = None,
+                 dataset_name: Optional[str] = None,
+                 normalize: bool = True, apply_filter: bool = True,
+                 max_seq_len: int = 512, bucket_multiple: int = 32):
+        if videos is None:
+            if path is None:
+                raise ValueError("need videos or path")
+            from .hdf5_io import read_split
+            videos, _, _ = read_split(path)
+            dataset_name = dataset_name or dataset_name_from_path(path)
+        self.dataset_name = dataset_name or "all"
+        self.max_seq_len = max_seq_len
+        self.bucket_multiple = bucket_multiple
+
+        videos = [np.asarray(v, np.float32)[:max_seq_len] for v in videos]
+        if apply_filter:
+            videos, self.dropped = filter_videos(videos)
+        else:
+            self.dropped = 0
+        if normalize and videos:
+            videos = self._normalize_bucketed(videos)
+        self.videos = videos
+
+    def _normalize_bucketed(self, videos):
+        """Run the jitted normalizer once per bucket shape."""
+        buckets: Dict[int, List[int]] = {}
+        for i, v in enumerate(videos):
+            buckets.setdefault(
+                bucket_length(len(v), self.bucket_multiple,
+                              self.max_seq_len), []).append(i)
+        out: List[Optional[np.ndarray]] = [None] * len(videos)
+        norm = jax.jit(normalize_pose_batch)
+        for t_pad, idxs in buckets.items():
+            padded, lens = pad_videos([videos[i] for i in idxs], t_pad)
+            res = np.asarray(norm(jnp.asarray(padded)))
+            for row, i in enumerate(idxs):
+                out[i] = res[row, :lens[row]]
+        return out
+
+    def __len__(self):
+        return len(self.videos)
+
+    # -- batching ----------------------------------------------------------
+
+    def _bucketed_indices(self, order: np.ndarray, batch_size: int):
+        buckets: Dict[int, List[int]] = {}
+        for i in order:
+            buckets.setdefault(
+                bucket_length(len(self.videos[i]), self.bucket_multiple,
+                              self.max_seq_len), []).append(int(i))
+        for t_pad, idxs in sorted(buckets.items()):
+            for s in range(0, len(idxs), batch_size):
+                yield t_pad, idxs[s:s + batch_size]
+
+    def batches(self, batch_size: int, shuffle: bool = False,
+                seed: int = 0,
+                corrupted: Optional[Dict[int, tuple]] = None
+                ) -> Iterator[Batch]:
+        """Yield fixed-shape batches; short batches are filled by repeating
+        the first row with weight 0."""
+        order = np.arange(len(self.videos))
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        for t_pad, idxs in self._bucketed_indices(order, batch_size):
+            vids = [self.videos[i] for i in idxs]
+            n = len(vids)
+            fill = batch_size - n
+            vids = vids + [vids[0]] * fill
+            clean, lens = pad_videos(vids, t_pad)
+            weight = np.concatenate(
+                [np.ones(n, np.float32), np.zeros(fill, np.float32)])
+            batch = Batch(clean=clean, length=lens, weight=weight)
+            if corrupted is not None:
+                ins = np.zeros((batch_size, t_pad + 1, NUM_KEYPOINTS,
+                                NUM_COORDS), np.float32)
+                msk = np.zeros((batch_size, t_pad + 1), np.float32)
+                src = idxs + [idxs[0]] * fill
+                for row, i in enumerate(src):
+                    civ, cim = corrupted[i]
+                    t = min(len(civ), t_pad + 1)
+                    ins[row, :t] = civ[:t]
+                    msk[row, :t] = cim[:t]
+                batch.inputs, batch.mask = ins, msk
+            yield batch
+
+    def num_batches(self, batch_size: int) -> int:
+        return sum(1 for _ in self._bucketed_indices(
+            np.arange(len(self.videos)), batch_size))
+
+    # -- validation corruption (precomputed once) ---------------------------
+
+    def precompute_corruption(self, seed: int = 42,
+                              is_random_missing: bool = False,
+                              registry_path: Optional[str] = None
+                              ) -> Dict[int, tuple]:
+        """Reference create_validation_data (dataloader.py:604-621): corrupt
+        every video once; serve the same corruption every epoch."""
+        stats = None
+        name = self.dataset_name
+        if not is_random_missing and name != "all":
+            stats = missing_stats(name, registry_path)
+        corrupt = jax.jit(
+            lambda k, v, t: put_missing_frames(
+                k, v, is_random_missing=is_random_missing,
+                dataset_name="all" if stats is None else name,
+                stats=stats, t_actual=t),
+            static_argnames=())
+        out: Dict[int, tuple] = {}
+        key = jax.random.key(seed)
+        buckets: Dict[int, List[int]] = {}
+        for i, v in enumerate(self.videos):
+            buckets.setdefault(
+                bucket_length(len(v), self.bucket_multiple,
+                              self.max_seq_len), []).append(i)
+        for t_pad, idxs in buckets.items():
+            padded, lens = pad_videos([self.videos[i] for i in idxs], t_pad)
+            keys = jax.random.split(key, len(idxs) + 1)
+            key = keys[0]
+            vv, mm = jax.vmap(corrupt)(keys[1:], jnp.asarray(padded),
+                                       jnp.asarray(lens))
+            vv, mm = add_sos(vv, mm)
+            vv, mm = np.asarray(vv), np.asarray(mm)
+            for row, i in enumerate(idxs):
+                t = lens[row] + 1
+                out[i] = (vv[row, :t], mm[row, :t])
+        return out

@@ -1,0 +1,101 @@
+"""Classical-baseline evaluation over a validation set.
+
+Covers the reference's three evaluation scripts:
+  * freeze-frame ("do-nothing") loss — 2_dataset_missing_loss.py:30-69
+  * cubic-spline baseline — 3_test_cubic_interpolation.py:61-197 (the
+    SOS frame participates as a knot at position 0, as in the reference,
+    which interpolates ``inputs`` WITH the SOS prepended and then scores
+    ``prediction[1:]``)
+  * quaternion/SLERP baseline — test_quaternion.py:187-221 (run with
+    random-missing corruption; scored on aligned shapes, vs the
+    reference's buggy sota[1:-1] slice — divergence documented)
+
+All three run batched on device; statistics (ANOVA/Tukey/t-test) and violin
+plots via eval/stats.py.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.pipeline import KeypointDataset
+from ..ops.cubic_spline import cubic_interpolation_batch
+from ..ops.losses import euclidean_loss, mse_loss
+from ..ops.slerp import quaternion_interpolation_batch
+
+
+def evaluate_baselines(val_ds: KeypointDataset, batch_size: int = 8,
+                       seed: int = 42, is_random_missing: bool = False,
+                       which=("freeze", "cubic", "quaternion")
+                       ) -> Dict[str, List[float]]:
+    """Per-video loss lists for the selected baselines."""
+    corrupted = val_ds.precompute_corruption(
+        seed=seed, is_random_missing=is_random_missing)
+
+    out: Dict[str, List[float]] = {k: [] for k in which}
+
+    cubic_fn = jax.jit(cubic_interpolation_batch)
+    quat_fn = jax.jit(quaternion_interpolation_batch)
+
+    for batch in val_ds.batches(batch_size, corrupted=corrupted):
+        inputs = jnp.asarray(batch.inputs)       # (B, T+1, K, 2) SOS + corr
+        mask = jnp.asarray(batch.mask)           # (B, T+1)
+        clean = jnp.asarray(batch.clean)         # (B, T, K, 2)
+        T = clean.shape[1]
+        valid = jnp.asarray(batch.valid)
+        keep = batch.weight > 0
+
+        if "freeze" in which:
+            # EuclideanLoss(inputs[1:], sota) — 2_dataset_missing_loss.py:50
+            pv = euclidean_loss(inputs[:, 1:T + 1], clean,
+                                frame_weight=valid)
+            out["freeze"].extend(np.asarray(pv)[keep].tolist())
+
+        if "cubic" in which:
+            pred = cubic_fn(inputs, mask)[:, 1:T + 1]
+            pv = euclidean_loss(pred, clean, frame_weight=valid)
+            out["cubic"].extend(np.asarray(pv)[keep].tolist())
+
+        if "quaternion" in which:
+            # reference zeroes masked frames first (test_quaternion.py:210)
+            zeroed = jnp.where(mask[:, 1:T + 1, None, None] > 0, 0.0,
+                               inputs[:, 1:T + 1])
+            pred = quat_fn(zeroed, mask[:, 1:T + 1])
+            pv = mse_loss(pred, clean, frame_weight=valid)
+            out["quaternion"].extend(np.asarray(pv)[keep].tolist())
+
+    return out
+
+
+def baselines_main(args) -> int:
+    from ..utils.config import DataConfig
+    from ..data.synthetic import synthetic_dataset
+
+    if args.synthetic:
+        vids = synthetic_dataset(args.synthetic)
+        ds = KeypointDataset(videos=vids, dataset_name="all",
+                             max_seq_len=args.max_seq_len)
+    else:
+        ds = KeypointDataset(path=args.validation_set_path,
+                             max_seq_len=args.max_seq_len)
+
+    which = (("freeze", "cubic", "quaternion") if args.which == "all"
+             else (args.which,))
+    results = evaluate_baselines(ds, batch_size=args.batch_size,
+                                 seed=args.seed,
+                                 which=which,
+                                 is_random_missing=("quaternion" in which
+                                                    and len(which) == 1))
+    summary = {k: {"mean": float(np.mean(v)), "median": float(np.median(v)),
+                   "n": len(v)} for k, v in results.items() if v}
+    print(json.dumps(summary, indent=2))
+
+    if len(results) > 1:
+        from .stats import compare_distributions
+        compare_distributions({k: v for k, v in results.items() if v})
+    return 0

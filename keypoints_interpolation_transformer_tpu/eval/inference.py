@@ -1,0 +1,111 @@
+"""Checkpoint inference benchmark — the reference's EMPTY
+3_test_IA_interpolation.py (0 bytes), defined here per SURVEY.md §2.6:
+evaluate a trained checkpoint over a validation set, reporting
+
+  * EuclideanLoss with the masked composite (the A1 eval path,
+    A1_train.py:175-186)
+  * masked-frame MPJPE (mean euclidean distance on inpainted frames) — the
+    BASELINE.json parity metric
+  * interpolated keypoint-frames/sec/chip — the throughput north star
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.pipeline import KeypointDataset
+from ..ops import losses
+from ..train.steps import build_model, shift_streams, completer_forward
+from ..utils.config import Config, ModelConfig
+
+
+def evaluate_checkpoint(params, model_cfg: ModelConfig,
+                        val_ds: KeypointDataset, batch_size: int = 8,
+                        seed: int = 42, warmup: bool = True):
+    model = build_model(model_cfg, "plain")
+    corrupted = val_ds.precompute_corruption(seed=seed)
+
+    @jax.jit
+    def infer(params, inputs, mask, clean, length):
+        x, x_no, x_mask, y_mask, valid = shift_streams(inputs, mask, length)
+        pred = completer_forward(model, params, x, x_no, x_mask, y_mask,
+                                 valid)
+        comp = losses.composite_prediction(pred, clean, y_mask)
+        per_video = losses.euclidean_loss(comp, clean, frame_weight=valid)
+        d = jnp.sqrt(jnp.sum((comp - clean) ** 2, axis=-1))      # (B,T,K)
+        w = (y_mask * valid)[..., None]
+        return per_video, jnp.sum(d * w), jnp.sum(w) * d.shape[-1]
+
+    batches = list(val_ds.batches(batch_size, corrupted=corrupted))
+
+    def run(collect):
+        pv_all, dsum, wsum, frames = [], 0.0, 0.0, 0
+        for b in batches:
+            pv, ds_, ws_ = infer(params, jnp.asarray(b.inputs),
+                                 jnp.asarray(b.mask), jnp.asarray(b.clean),
+                                 jnp.asarray(b.length))
+            if collect:
+                keep = b.weight > 0
+                pv_all.extend(np.asarray(pv)[keep].tolist())
+                dsum += float(ds_)
+                wsum += float(ws_)
+            frames += int(b.length.sum())
+        jax.block_until_ready(pv)
+        return pv_all, dsum, wsum, frames
+
+    if warmup:
+        run(collect=False)  # compile
+    t0 = time.perf_counter()
+    pv_all, dsum, wsum, frames = run(collect=True)
+    dt = time.perf_counter() - t0
+
+    return {
+        "val_euclidean_loss": float(np.mean(pv_all)),
+        "masked_mpjpe": dsum / max(wsum, 1.0),
+        "frames_per_sec": frames / dt,
+        "num_videos": len(pv_all),
+        "num_frames": frames,
+        "wall_sec": dt,
+    }
+
+
+def inference_main(args) -> int:
+    import orbax.checkpoint as ocp
+
+    from ..data.synthetic import synthetic_dataset
+
+    if args.synthetic:
+        ds = KeypointDataset(videos=synthetic_dataset(args.synthetic),
+                             dataset_name="all",
+                             max_seq_len=args.max_seq_len)
+    else:
+        ds = KeypointDataset(path=args.validation_set_path,
+                             max_seq_len=args.max_seq_len)
+
+    if args.checkpoint.endswith(".pth"):
+        from ..train.checkpoint import load_reference_checkpoint
+        params, hyper = load_reference_checkpoint(args.checkpoint)
+        mc = ModelConfig(hidden_dim=int(hyper["hidden_dim"]),
+                         num_layers=int(hyper["num_layers"]),
+                         num_heads=int(hyper["num_heads"]),
+                         matmul_precision=args.precision)
+    else:
+        with ocp.StandardCheckpointer() as c:
+            params = c.restore(args.checkpoint)
+        mc = ModelConfig(hidden_dim=args.hidden_dim,
+                         num_layers=args.num_layers,
+                         num_heads=args.num_heads,
+                         matmul_precision=args.precision)
+
+    with jax.default_matmul_precision(mc.matmul_precision):
+        res = evaluate_checkpoint(params, mc, ds,
+                                  batch_size=args.batch_size,
+                                  seed=args.seed)
+    print(json.dumps(res, indent=2))
+    return 0

@@ -1,0 +1,260 @@
+"""The unified training loop.
+
+One loop replaces the reference's four near-identical trainer scripts
+(A1_train.py:220-351, A2_train_cycle.py:197-323, A3_train_embedding.py:
+152-269, A4_train_with_pretrained.py:189-339).  Shared behavior reproduced:
+
+  * per-epoch LR assignment (linear decay lr -> lr/5 for a1/a2/a4,
+    A1_train.py:269-287; constant with /10 drop after epoch 80 for a3,
+    A3_train_embedding.py:261-263)
+  * per-epoch mean of per-video losses; save-on-best with early stopping on
+    ``patience`` (A1_train.py:294-347); a3's patience check never breaks
+    (A3_train_embedding.py:265-267) -> early_stop=False
+  * epoch-0 freeze-frame baseline per-video losses (A1_train.py:189-191);
+    the cubic-spline baseline is computed via ops/cubic_spline when enabled
+  * best checkpoints carry the reference's hyperparameter dict schema
+
+TPU specifics: padded/bucketed batches, corruption/augmentation fused in
+the jitted step, optional ("data", "model") mesh sharding.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.pipeline import KeypointDataset
+from ..data.synthetic import synthetic_dataset
+from ..parallel.mesh import make_mesh, shard_batch, shard_params
+from ..utils.config import Config
+from ..utils.metrics import MetricsLogger
+from ..utils.registry import missing_stats
+from . import checkpoint as ckpt
+from .state import (TrainState, freeze_mask_for_graft, linear_decay_lrs,
+                    step_drop_lrs)
+from .steps import build_model, make_eval_step, make_train_step
+
+_REGIME_VARIANT = {"a1": "plain", "a2": "cycle", "a3": "embedding",
+                   "a4": "plain"}
+
+
+@dataclasses.dataclass
+class TrainResult:
+    best_val_loss: float
+    best_epoch: int
+    epochs_run: int
+    train_losses: List[float]
+    val_losses: List[float]
+    checkpoint_path: Optional[str]
+    baseline_losses: Optional[List[float]] = None
+
+
+def _build_datasets(cfg: Config):
+    d = cfg.data
+    if d.synthetic_num_videos > 0:
+        vids = synthetic_dataset(d.synthetic_num_videos, d.synthetic_min_len,
+                                 d.synthetic_max_len, seed=d.seed)
+        n_train = max(1, int(0.8 * len(vids)))
+        train = KeypointDataset(videos=vids[:n_train],
+                                dataset_name=d.dataset_name,
+                                max_seq_len=d.max_seq_len,
+                                bucket_multiple=d.bucket_multiple)
+        val = KeypointDataset(videos=vids[n_train:] or vids[:1],
+                              dataset_name=d.dataset_name,
+                              max_seq_len=d.max_seq_len,
+                              bucket_multiple=d.bucket_multiple)
+        return train, val
+    train = KeypointDataset(path=d.training_set_path,
+                            max_seq_len=d.max_seq_len,
+                            bucket_multiple=d.bucket_multiple)
+    val = KeypointDataset(path=d.validation_set_path,
+                          max_seq_len=d.max_seq_len,
+                          bucket_multiple=d.bucket_multiple)
+    return train, val
+
+
+def _init_params(model, cfg, key):
+    t0 = min(cfg.data.bucket_multiple, cfg.data.max_seq_len)
+    dummy = jnp.zeros((1, t0, 54, 2))
+    if cfg.model.variant == "embedding" or \
+            _REGIME_VARIANT[cfg.train.regime] == "embedding":
+        return model.init(key, dummy)["params"]
+    return model.init(key, dummy, dummy)["params"]
+
+
+def _load_params_any(path: str):
+    """Load model params from a reference .pth or an orbax directory."""
+    if path.endswith(".pth"):
+        params, _ = ckpt.load_reference_checkpoint(path)
+        return params
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as c:
+        return c.restore(os.path.abspath(path))
+
+
+def train(cfg: Config, train_ds: Optional[KeypointDataset] = None,
+          val_ds: Optional[KeypointDataset] = None,
+          use_wandb: bool = False) -> TrainResult:
+    regime = cfg.train.regime
+    variant = _REGIME_VARIANT[regime]
+    if train_ds is None or val_ds is None:
+        train_ds, val_ds = _build_datasets(cfg)
+
+    stats = None
+    if not cfg.data.is_random_missing and cfg.data.dataset_name != "all":
+        stats = missing_stats(cfg.data.dataset_name)
+
+    key = jax.random.key(cfg.train.seed)
+    key, k_init = jax.random.split(key)
+
+    model = build_model(cfg.model, variant)
+    params = _init_params(model, cfg, k_init)
+
+    # -- regime-specific wiring -------------------------------------------
+    first_model, first_params, freeze_mask = None, None, None
+    if regime == "a2":
+        if not cfg.train.upload_model:
+            raise ValueError("a2 needs train.upload_model (the frozen "
+                             "first model's checkpoint)")
+        first_model = build_model(cfg.model, "plain")
+        first_params = _load_params_any(cfg.train.upload_model)
+    if regime == "a4":
+        if cfg.train.upload_general_model:
+            params = _load_params_any(cfg.train.upload_general_model)
+        if cfg.train.upload_embedding_model:
+            emb = _load_params_any(cfg.train.upload_embedding_model)
+            # graft: input_embedding -> both embeddings, output -> fc_final
+            # (A4_train_with_pretrained.py:236-254)
+            params = dict(params)
+            params["input_embedding"] = jax.tree.map(
+                jnp.asarray, emb["input_embedding"])
+            params["filled_embedding"] = jax.tree.map(
+                jnp.asarray, emb["input_embedding"])
+            params["fc_final"] = jax.tree.map(
+                jnp.asarray, emb["output_embedding"])
+            if cfg.train.freeze_grafted:
+                freeze_mask = freeze_mask_for_graft(params)
+
+    state = TrainState.create(params)
+
+    # -- mesh ---------------------------------------------------------------
+    mesh = None
+    if cfg.mesh.data * cfg.mesh.model > 1:
+        mesh = make_mesh(cfg.mesh.data, cfg.mesh.model)
+        state = state.replace(
+            params=shard_params(state.params, mesh),
+            opt_state=jax.tree.map(
+                lambda x: x, state.opt_state))  # placed with params by jit
+        if first_params is not None:
+            first_params = shard_params(first_params, mesh)
+
+    train_step = make_train_step(model, cfg, stats, first_model, freeze_mask)
+    eval_step = make_eval_step(model, cfg, first_model)
+
+    # -- schedules ----------------------------------------------------------
+    if regime == "a3":
+        lrs = step_drop_lrs(cfg.train.lr, cfg.train.epochs,
+                            cfg.train.a3_lr_drop_epoch)
+    else:
+        lrs = linear_decay_lrs(cfg.train.lr, cfg.train.epochs)
+
+    corrupted_val = val_ds.precompute_corruption(
+        seed=cfg.train.seed, is_random_missing=cfg.data.is_random_missing)
+
+    logger = MetricsLogger(run_name=cfg.train.experiment_name,
+                           use_wandb=use_wandb)
+    ckpt_dir = os.path.join(cfg.train.checkpoint_dir, logger.run_name)
+
+    min_loss, best_epoch, patience = float("inf"), -1, 0
+    train_curve: List[float] = []
+    val_curve: List[float] = []
+    baseline_acc: Optional[List[float]] = None
+    ckpt_path = None
+    precision = cfg.model.matmul_precision
+
+    for epoch in range(cfg.train.epochs):
+        lr = float(lrs[epoch])
+        key, k_epoch = jax.random.split(key)
+
+        # ---- train ----
+        per_video_losses: List[np.ndarray] = []
+        weights: List[np.ndarray] = []
+        with jax.default_matmul_precision(precision):
+            for batch in train_ds.batches(cfg.data.batch_size, shuffle=True,
+                                          seed=cfg.train.seed + epoch):
+                k_epoch, k_step = jax.random.split(k_epoch)
+                args = [jnp.asarray(batch.clean), jnp.asarray(batch.length),
+                        jnp.asarray(batch.weight)]
+                if mesh is not None:
+                    args = [shard_batch(a, mesh) for a in args]
+                if regime == "a2":
+                    state, m = train_step(state, *args, k_step,
+                                          jnp.float32(lr), first_params)
+                else:
+                    state, m = train_step(state, *args, k_step,
+                                          jnp.float32(lr))
+                per_video_losses.append(np.asarray(m["per_video"]))
+                weights.append(np.asarray(batch.weight))
+
+        pv = np.concatenate(per_video_losses)
+        w = np.concatenate(weights)
+        train_loss = float((pv * w).sum() / max(w.sum(), 1.0))
+
+        # ---- eval ----
+        val_pv: List[float] = []
+        base_pv: List[float] = []
+        with jax.default_matmul_precision(precision):
+            for batch in val_ds.batches(cfg.data.batch_size, shuffle=False,
+                                        corrupted=corrupted_val):
+                args = [jnp.asarray(batch.inputs), jnp.asarray(batch.mask),
+                        jnp.asarray(batch.clean), jnp.asarray(batch.length)]
+                if mesh is not None:
+                    args = [shard_batch(a, mesh) for a in args]
+                if regime == "a2":
+                    per_video, base = eval_step(state.params, *args,
+                                                first_params)
+                else:
+                    per_video, base = eval_step(state.params, *args)
+                keep = batch.weight > 0
+                val_pv.extend(np.asarray(per_video)[keep].tolist())
+                base_pv.extend(np.asarray(base)[keep].tolist())
+        val_loss = float(np.mean(val_pv))
+        if baseline_acc is None:
+            baseline_acc = base_pv  # epoch-0 freeze-frame baseline
+
+        train_curve.append(train_loss)
+        val_curve.append(val_loss)
+        patience += 1
+        improved = val_loss < min_loss
+        if improved:
+            min_loss, best_epoch, patience = val_loss, epoch, 0
+            if cfg.train.save_checkpoints:
+                ckpt_path = os.path.abspath(os.path.join(ckpt_dir, "best"))
+                import orbax.checkpoint as ocp
+                # store as host numpy: checkpoints must restore under any
+                # backend (TPU <-> CPU), so no device shardings are baked in
+                host_params = jax.tree.map(np.asarray, state.params)
+                with ocp.StandardCheckpointer() as c:
+                    c.save(ckpt_path, host_params, force=True)
+
+        logger.log(epoch, train_loss=train_loss, val_loss=val_loss,
+                   minimun_loss=min_loss, lr=lr, epoch=epoch)
+        if cfg.train.log_every and epoch % cfg.train.log_every == 0:
+            print(f"epoch {epoch}: lr={lr:.3g} train={train_loss:.6f} "
+                  f"val={val_loss:.6f} best={min_loss:.6f}")
+
+        if cfg.train.early_stop and patience >= cfg.train.patience:
+            break
+
+    logger.close()
+    return TrainResult(best_val_loss=min_loss, best_epoch=best_epoch,
+                       epochs_run=len(val_curve),
+                       train_losses=train_curve, val_losses=val_curve,
+                       checkpoint_path=ckpt_path,
+                       baseline_losses=baseline_acc)

@@ -1,0 +1,100 @@
+"""Typed configuration for the whole framework.
+
+Replaces the reference's argparse parent parser (parseMain.py:3-60) and the
+module-header magic constants (A1_train.py:29-32 etc.) with one dataclass
+tree.  Field names and defaults track the reference flags so experiment
+configs translate 1:1: hidden_dim=256, num_heads=8, num_layers=6, lr=5e-6,
+epochs=500, patience=50 (parseMain.py:10-34).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    hidden_dim: int = 256
+    num_heads: int = 8
+    num_layers: int = 6
+    input_size: int = 108          # 54 keypoints x 2 (A1_train.py:247)
+    ff_dim: int = 2048             # torch nn.Transformer default
+    variant: str = "plain"         # "plain" | "cycle" | "embedding"
+    # numerics: "highest" = f32 MXU passes (reference parity);
+    # "default" = bf16 MXU passes (fast path)
+    matmul_precision: str = "highest"
+    compute_dtype: str = "float32"
+
+
+@dataclasses.dataclass
+class DataConfig:
+    dataset_name: str = "all"
+    training_set_path: str = ""
+    validation_set_path: str = ""
+    batch_size: int = 8
+    max_seq_len: int = 512
+    bucket_multiple: int = 32      # pad lengths up to multiples of this
+    augmentations_prob: float = 0.5
+    have_augmentation: bool = True
+    is_random_missing: bool = False
+    double_hand_rotation: bool = True   # reproduce augmentation.py:134-140
+    # synthetic data (hermetic runs / benchmarks)
+    synthetic_num_videos: int = 0
+    synthetic_min_len: int = 24
+    synthetic_max_len: int = 96
+    seed: int = 42
+
+
+@dataclasses.dataclass
+class MeshConfig:
+    data: int = 1                  # data-parallel axis size
+    model: int = 1                 # tensor-parallel axis size
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    regime: str = "a1"             # a1 | a2 | a3 | a4
+    lr: float = 5e-6
+    epochs: int = 500
+    patience: int = 50
+    early_stop: bool = True        # A3's patience check never breaks
+    seed: int = 42
+    checkpoint_dir: str = "model_checkpoint"
+    experiment_name: Optional[str] = None
+    # a2: checkpoint of the frozen first model
+    upload_model: Optional[str] = None
+    # a4: warm start / embedding graft
+    upload_general_model: Optional[str] = None
+    upload_embedding_model: Optional[str] = None
+    freeze_grafted: bool = True
+    # a3 schedule: lr /10 at this epoch (A3_train_embedding.py:261-263)
+    a3_lr_drop_epoch: int = 80
+    log_every: int = 1
+    save_checkpoints: bool = True
+
+
+@dataclasses.dataclass
+class Config:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Config":
+        return cls(
+            model=ModelConfig(**d.get("model", {})),
+            data=DataConfig(**d.get("data", {})),
+            mesh=MeshConfig(**d.get("mesh", {})),
+            train=TrainConfig(**d.get("train", {})),
+        )
+
+    @classmethod
+    def from_json_file(cls, path: str) -> "Config":
+        with open(path) as f:
+            return cls.from_dict(json.load(f))
