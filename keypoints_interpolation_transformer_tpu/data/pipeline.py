@@ -36,15 +36,13 @@ def bucket_length(t: int, multiple: int, max_len: int) -> int:
 
 
 def pad_videos(videos: Sequence[np.ndarray], t_pad: int):
-    """Stack ragged videos into (B, t_pad, K, 2) + (B,) lengths."""
-    B = len(videos)
-    out = np.zeros((B, t_pad, NUM_KEYPOINTS, NUM_COORDS), np.float32)
-    lens = np.zeros(B, np.int32)
-    for i, v in enumerate(videos):
-        t = min(len(v), t_pad)
-        out[i, :t] = v[:t]
-        lens[i] = t
-    return out, lens
+    """Stack ragged videos into (B, t_pad, K, 2) + (B,) lengths.
+
+    Uses the native C++ packer (data/native_pack.py, memcpy speed) when the
+    toolchain is available; numpy fallback otherwise."""
+    from .native_pack import pad_videos_native
+
+    return pad_videos_native(videos, t_pad)
 
 
 @dataclasses.dataclass

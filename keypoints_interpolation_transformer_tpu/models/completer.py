@@ -62,6 +62,11 @@ class KeypointCompleter(nn.Module):
     pe_residual: bool = False          # True == Cycle variant
     use_tgt_key_padding: bool = False  # True == Cycle variant
     dtype: jnp.dtype = jnp.float32
+    # "xla": additive-bias einsum attention (src_bias/tgt_bias are used);
+    # "pallas": fused TPU kernel building the bias in-kernel from the 1-D
+    # frame masks (src_bias/tgt_bias ignored; mask kinds come from
+    # src_mask_kind/tgt_mask_kind)
+    attention_impl: str = "xla"
 
     @nn.compact
     def __call__(
@@ -73,6 +78,8 @@ class KeypointCompleter(nn.Module):
         src_bias: Optional[jnp.ndarray] = None,        # (B, T, T) or (T, T)
         tgt_bias: Optional[jnp.ndarray] = None,
         valid_mask: Optional[jnp.ndarray] = None,      # (B, T) 1 = real frame
+        src_mask_kind: str = "repeat-inc",             # pallas path only
+        tgt_mask_kind: str = "repeat-inc",
     ) -> jnp.ndarray:
         B, T = inputs.shape[0], inputs.shape[1]
         if T > self.pe_max_len:
@@ -112,28 +119,52 @@ class KeypointCompleter(nn.Module):
                      name="swiglu_filled_prev")(filled_pos)
 
         # ---- attention biases -------------------------------------------
-        enc_bias = _expand_bias(src_bias, B)
-        if src_frame_mask is not None:
-            # torch float key_padding_mask: values added to logits
-            kp = mask_ops.key_padding_additive(src_frame_mask)[:, None]
-            enc_bias = kp if enc_bias is None else enc_bias + kp
+        enc_bias = dec_bias = cross_bias = None
+        src_fused = tgt_fused = cross_fused = None
+        if self.attention_impl == "pallas":
+            zeros = jnp.zeros((B, T), self.dtype)
+            src_fused = {
+                "mask": src_frame_mask if src_frame_mask is not None
+                else zeros,
+                "valid": valid_mask,
+                "kind": src_mask_kind if src_frame_mask is not None
+                else "all",
+                "add_keypad": src_frame_mask is not None,
+            }
+            tgt_fused = {
+                "mask": tgt_frame_mask if tgt_frame_mask is not None
+                else zeros,
+                "valid": valid_mask,
+                "kind": tgt_mask_kind if tgt_frame_mask is not None
+                else "all",
+                "add_keypad": (self.use_tgt_key_padding
+                               and tgt_frame_mask is not None),
+            }
+            cross_fused = {"mask": zeros, "valid": valid_mask,
+                           "kind": "all", "add_keypad": False}
+        else:
+            enc_bias = _expand_bias(src_bias, B)
+            if src_frame_mask is not None:
+                # torch float key_padding_mask: values added to logits
+                kp = mask_ops.key_padding_additive(src_frame_mask)[:, None]
+                enc_bias = kp if enc_bias is None else enc_bias + kp
 
-        dec_bias = _expand_bias(tgt_bias, B)
-        if self.use_tgt_key_padding and tgt_frame_mask is not None:
-            kp = mask_ops.key_padding_additive(tgt_frame_mask)[:, None]
-            dec_bias = kp if dec_bias is None else dec_bias + kp
+            dec_bias = _expand_bias(tgt_bias, B)
+            if self.use_tgt_key_padding and tgt_frame_mask is not None:
+                kp = mask_ops.key_padding_additive(tgt_frame_mask)[:, None]
+                dec_bias = kp if dec_bias is None else dec_bias + kp
 
-        cross_bias = None
-        if valid_mask is not None:
-            pad = mask_ops.padding_bias(valid_mask)[:, None]
-            enc_bias = pad if enc_bias is None else enc_bias + pad
-            dec_bias = pad if dec_bias is None else dec_bias + pad
-            cross_bias = pad
+            if valid_mask is not None:
+                pad = mask_ops.padding_bias(valid_mask)[:, None]
+                enc_bias = pad if enc_bias is None else enc_bias + pad
+                dec_bias = pad if dec_bias is None else dec_bias + pad
+                cross_bias = pad
 
         decoded = TransformerCore(
             self.hidden_dim, self.num_heads, self.num_layers, self.ff_dim,
             self.dtype, name="transformer")(
-                src, tgt, enc_bias, dec_bias, cross_bias)
+                src, tgt, enc_bias, dec_bias, cross_bias,
+                src_fused, tgt_fused, cross_fused)
 
         decoded = SwiGLU(self.hidden_dim, self.dtype,
                          name="swiglu_decoded")(decoded)

@@ -67,6 +67,11 @@ class MultiHeadAttention(nn.Module):
     logits = (q @ k^T) / sqrt(head_dim) + bias, softmax over keys.
     ``bias`` broadcasts against (B, H, Tq, Tk); float values are added
     directly, matching torch's float-mask semantics.
+
+    ``fused_spec`` selects the Pallas fused-attention path instead: a dict
+    {"mask": (B, T), "valid": (B, T) | None, "kind": str, "add_keypad":
+    bool} — the bias is then built IN-KERNEL from the 1-D masks (see
+    ops/pallas/attention.py) and ``bias`` is ignored.
     """
 
     dim: int
@@ -74,7 +79,8 @@ class MultiHeadAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, q_in, kv_in, bias: Optional[jnp.ndarray] = None):
+    def __call__(self, q_in, kv_in, bias: Optional[jnp.ndarray] = None,
+                 fused_spec: Optional[dict] = None):
         assert self.dim % self.num_heads == 0
         hd = self.dim // self.num_heads
 
@@ -86,15 +92,22 @@ class MultiHeadAttention(nn.Module):
         k = heads("k_proj", kv_in)  # (B, Tk, H, hd)
         v = heads("v_proj", kv_in)
 
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                            preferred_element_type=jnp.float32)
-        logits = logits / math.sqrt(hd)
-        if bias is not None:
-            logits = logits + bias.astype(logits.dtype)
-        weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-
-        out = jnp.einsum("bhqk,bkhd->bqhd", weights, v,
-                         preferred_element_type=jnp.float32)
+        if fused_spec is not None:
+            from ..ops.pallas.attention import fused_attention
+            out = fused_attention(q, k, v, fused_spec["mask"],
+                                  fused_spec.get("valid"),
+                                  fused_spec.get("kind", "repeat-inc"),
+                                  fused_spec.get("add_keypad", False))
+            out = out.astype(self.dtype)
+        else:
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                preferred_element_type=jnp.float32)
+            logits = logits / math.sqrt(hd)
+            if bias is not None:
+                logits = logits + bias.astype(logits.dtype)
+            weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", weights, v,
+                             preferred_element_type=jnp.float32)
         out = out.reshape(out.shape[:2] + (self.dim,)).astype(self.dtype)
         return nn.Dense(self.dim, dtype=self.dtype, name="out_proj")(out)
 
@@ -120,10 +133,10 @@ class EncoderLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, bias=None):
+    def __call__(self, x, bias=None, fused=None):
         x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm1")(
             x + MultiHeadAttention(self.dim, self.num_heads, self.dtype,
-                                   name="self_attn")(x, x, bias))
+                                   name="self_attn")(x, x, bias, fused))
         x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm2")(
             x + FeedForward(self.dim, self.ff_dim, self.dtype,
                             name="ff")(x))
@@ -139,13 +152,16 @@ class DecoderLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, memory, self_bias=None, cross_bias=None):
+    def __call__(self, x, memory, self_bias=None, cross_bias=None,
+                 self_fused=None, cross_fused=None):
         x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm1")(
             x + MultiHeadAttention(self.dim, self.num_heads, self.dtype,
-                                   name="self_attn")(x, x, self_bias))
+                                   name="self_attn")(x, x, self_bias,
+                                                     self_fused))
         x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm2")(
             x + MultiHeadAttention(self.dim, self.num_heads, self.dtype,
-                                   name="cross_attn")(x, memory, cross_bias))
+                                   name="cross_attn")(x, memory, cross_bias,
+                                                      cross_fused))
         x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm3")(
             x + FeedForward(self.dim, self.ff_dim, self.dtype,
                             name="ff")(x))
@@ -164,16 +180,21 @@ class TransformerCore(nn.Module):
 
     @nn.compact
     def __call__(self, src, tgt, src_bias=None, tgt_bias=None,
-                 cross_bias=None):
+                 cross_bias=None, src_fused=None, tgt_fused=None,
+                 cross_fused=None):
         x = src
         for i in range(self.num_layers):
             x = EncoderLayer(self.dim, self.num_heads, self.ff_dim,
-                             self.dtype, name=f"encoder_{i}")(x, src_bias)
-        memory = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="encoder_norm")(x)
+                             self.dtype, name=f"encoder_{i}")(
+                                 x, src_bias, src_fused)
+        memory = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
+                              name="encoder_norm")(x)
 
         y = tgt
         for i in range(self.num_layers):
             y = DecoderLayer(self.dim, self.num_heads, self.ff_dim,
                              self.dtype, name=f"decoder_{i}")(
-                                 y, memory, tgt_bias, cross_bias)
-        return nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="decoder_norm")(y)
+                                 y, memory, tgt_bias, cross_bias,
+                                 tgt_fused, cross_fused)
+        return nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
+                            name="decoder_norm")(y)

@@ -1,0 +1,148 @@
+"""Pallas TPU fused attention for the keypoint inpainter.
+
+Fuses, per (batch, head) grid cell, entirely in VMEM:
+
+  scores = q k^T / sqrt(dh)
+         + repeat-inc bias        (built from the 1-D frame mask IN-KERNEL,
+                                   so no (B, T, T) bias is ever materialized
+                                   in HBM — the reference builds it with an
+                                   O(T^2) Python loop, model.py:200-202)
+         + float key-padding      (torch semantics: +mask[col], optional)
+         + padding bias           (blocks attention to padded frames)
+  out = softmax(scores) v
+
+Sequence lengths here are short (T <= 512), so one kernel instance holds the
+full (T, T) score tile in VMEM — no streaming flash recurrence is needed;
+the win is fusion and bias elision, not tiling.
+
+Differentiable via custom VJP: the backward pass recomputes the probabilities
+with the same kernel machinery expressed in XLA einsums (cheap at these
+sizes, zero extra residual memory — the flash-style trade).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e9
+
+
+def _bias_terms(mask_row, valid_row, T, kind, add_keypad):
+    """(T, T) additive bias from 1-D masks — shared by fwd kernel & bwd."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+    mask_col = mask_row[None, :]  # (1, T) broadcasts over rows
+    bias = jnp.zeros((T, T), jnp.float32)
+    if kind == "repeat-inc":
+        blocked = jnp.logical_and(col > row, mask_col > 0)
+        bias = jnp.where(blocked, NEG, 0.0)
+    elif kind != "all":
+        raise ValueError(f"unsupported fused mask kind {kind!r}")
+    if add_keypad:
+        bias = bias + mask_col
+    if valid_row is not None:
+        bias = bias + jnp.where(valid_row[None, :] > 0, 0.0, NEG)
+    return bias
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, valid_ref, o_ref, *,
+                 kind: str, add_keypad: bool, scale: float):
+    q = q_ref[0, 0]                           # (T, dh)
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    T = q.shape[0]
+
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    scores = scores + _bias_terms(mask_ref[0, 0], valid_ref[0, 0], T,
+                                  kind, add_keypad)
+    weights = jax.nn.softmax(scores, axis=-1)
+    o_ref[0, 0] = jnp.dot(weights, v,
+                          preferred_element_type=jnp.float32
+                          ).astype(o_ref.dtype)
+
+
+def _fused_fwd(q, k, v, mask, valid, kind, add_keypad):
+    B, T, H, dh = q.shape
+    scale = 1.0 / math.sqrt(dh)
+    if valid is None:
+        valid = jnp.ones((B, T), jnp.float32)
+
+    # layout: (B, H, T, dh) so each block's trailing dims are (T, dh)
+    qh, kh, vh = (jnp.transpose(x, (0, 2, 1, 3)) for x in (q, k, v))
+    mask3 = mask[:, None, :]
+    valid3 = valid[:, None, :]
+
+    grid = (B, H)
+    qkv_spec = pl.BlockSpec((1, 1, T, dh), lambda b, h: (b, h, 0, 0),
+                            memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((1, 1, T), lambda b, h: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, kind=kind, add_keypad=add_keypad,
+                          scale=scale),
+        grid=grid,
+        in_specs=[qkv_spec, qkv_spec, qkv_spec, vec_spec, vec_spec],
+        out_specs=qkv_spec,
+        out_shape=jax.ShapeDtypeStruct(qh.shape, q.dtype),
+    )(qh, kh, vh, mask3, valid3)
+    return jnp.transpose(out, (0, 2, 1, 3))
+
+
+def _xla_attention(q, k, v, mask, valid, kind, add_keypad):
+    """Reference XLA path (also the recompute used by the backward)."""
+    B, T, H, dh = q.shape
+    scale = 1.0 / math.sqrt(dh)
+    if valid is None:
+        valid = jnp.ones((B, T), jnp.float32)
+    bias = jax.vmap(lambda m, vd: _bias_terms(m, vd, T, kind, add_keypad))(
+        mask, valid)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    logits = logits + bias[:, None]
+    w = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", w, v,
+                      preferred_element_type=jnp.float32).astype(q.dtype), w
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def fused_attention(q, k, v, mask, valid, kind="repeat-inc",
+                    add_keypad=False):
+    """(B, T, H, dh) attention with in-kernel repeat-inc masking."""
+    return _fused_fwd(q, k, v, mask, valid, kind, add_keypad)
+
+
+def _vjp_fwd(q, k, v, mask, valid, kind, add_keypad):
+    out = _fused_fwd(q, k, v, mask, valid, kind, add_keypad)
+    return out, (q, k, v, mask, valid)
+
+
+def _vjp_bwd(kind, add_keypad, res, g):
+    q, k, v, mask, valid = res
+    dh = q.shape[-1]
+    scale = 1.0 / math.sqrt(dh)
+    _, w = _xla_attention(q, k, v, mask, valid, kind, add_keypad)
+    # dv = w^T g ; dlogits = w * (gw - sum(gw * w)) ; dq, dk from dlogits
+    dv = jnp.einsum("bhqk,bqhd->bkhd", w, g.astype(jnp.float32))
+    gw = jnp.einsum("bqhd,bkhd->bhqk", g.astype(jnp.float32), v)
+    tmp = gw - jnp.sum(gw * w, axis=-1, keepdims=True)
+    dlogits = (w * tmp) * scale
+    dq = jnp.einsum("bhqk,bkhd->bqhd", dlogits, k)
+    dk = jnp.einsum("bhqk,bqhd->bkhd", dlogits, q)
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            None, None)
+
+
+fused_attention.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def xla_attention(q, k, v, mask, valid=None, kind="repeat-inc",
+                  add_keypad=False):
+    return _xla_attention(q, k, v, mask, valid, kind, add_keypad)[0]

@@ -116,6 +116,84 @@ def load_reference_checkpoint(path: str):
     return params, hyper
 
 
+def _to_torch_linear(out: Dict, prefix: str, leaf: Mapping) -> None:
+    out[f"{prefix}.weight"] = np.asarray(leaf["kernel"]).T.copy()
+    out[f"{prefix}.bias"] = np.asarray(leaf["bias"]).copy()
+
+
+def completer_params_to_torch(params: Mapping) -> Dict[str, np.ndarray]:
+    """Inverse converter: Flax KeypointCompleter params -> a reference-named
+    torch state dict (numpy values), so models trained here can be consumed
+    by reference tooling."""
+    sd: Dict[str, np.ndarray] = {}
+    _to_torch_linear(sd, "input_embedding", params["input_embedding"])
+    _to_torch_linear(sd, "filled_embedding", params["filled_embedding"])
+    sd["learned_input_positional_encoder"] = np.asarray(
+        params["learned_input_pos"]).copy()
+    sd["learned_filled_positional_encoder"] = np.asarray(
+        params["learned_filled_pos"]).copy()
+    for ours, theirs in (("swiglu_input_prev", "swiGlu_input_prev"),
+                         ("swiglu_filled_prev", "swiGlu_filled_prev"),
+                         ("swiglu_decoded", "swiGlu_decoded")):
+        for i in (1, 2, 3):
+            _to_torch_linear(sd, f"{theirs}.fc{i}", params[ours][f"fc{i}"])
+    core = params["transformer"]
+    layer_ids = sorted(int(k.split("_")[1]) for k in core
+                       if k.startswith("encoder_")
+                       and k.split("_")[1].isdigit())
+    for i in layer_ids:
+        for side, attn_names in (("encoder", (("self_attn", "self_attn"),)),
+                                 ("decoder", (("self_attn", "self_attn"),
+                                              ("cross_attn",
+                                               "multihead_attn")))):
+            lp = core[f"{side}_{i}"]
+            base = f"transformer.{side}.layers.{i}"
+            for ours_attn, theirs_attn in attn_names:
+                at = lp[ours_attn]
+                w = np.concatenate([np.asarray(at[n]["kernel"]).T
+                                    for n in ("q_proj", "k_proj", "v_proj")])
+                b = np.concatenate([np.asarray(at[n]["bias"])
+                                    for n in ("q_proj", "k_proj", "v_proj")])
+                sd[f"{base}.{theirs_attn}.in_proj_weight"] = w
+                sd[f"{base}.{theirs_attn}.in_proj_bias"] = b
+                _to_torch_linear(sd, f"{base}.{theirs_attn}.out_proj",
+                                 at["out_proj"])
+            _to_torch_linear(sd, f"{base}.linear1", lp["ff"]["linear1"])
+            _to_torch_linear(sd, f"{base}.linear2", lp["ff"]["linear2"])
+            norms = ("norm1", "norm2") if side == "encoder" else \
+                ("norm1", "norm2", "norm3")
+            for nm in norms:
+                sd[f"{base}.{nm}.weight"] = np.asarray(
+                    lp[nm]["scale"]).copy()
+                sd[f"{base}.{nm}.bias"] = np.asarray(lp[nm]["bias"]).copy()
+    for ours, theirs in (("encoder_norm", "transformer.encoder.norm"),
+                         ("decoder_norm", "transformer.decoder.norm")):
+        sd[f"{theirs}.weight"] = np.asarray(core[ours]["scale"]).copy()
+        sd[f"{theirs}.bias"] = np.asarray(core[ours]["bias"]).copy()
+    _to_torch_linear(sd, "fc_final", params["fc_final"])
+    return sd
+
+
+def save_reference_checkpoint(path: str, params: Mapping, *,
+                              input_size: int = 108, hidden_dim: int,
+                              num_layers: int, num_heads: int,
+                              loss: float = float("nan")) -> None:
+    """Write a reference-schema ``.pth`` (A1_train.py:313-321)."""
+    import torch
+
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in completer_params_to_torch(params).items()}
+    torch.save({
+        "model_state_dict": sd,
+        "optimizer_state_dict": {},
+        "input_size": input_size,
+        "hidden_dim": hidden_dim,
+        "num_layers": num_layers,
+        "num_heads": num_heads,
+        "loss": loss,
+    }, path)
+
+
 # ---------------------------------------------------------------------------
 # Orbax native checkpointing
 # ---------------------------------------------------------------------------

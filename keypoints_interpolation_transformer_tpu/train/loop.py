@@ -37,7 +37,8 @@ from ..utils.registry import missing_stats
 from . import checkpoint as ckpt
 from .state import (TrainState, freeze_mask_for_graft, linear_decay_lrs,
                     step_drop_lrs)
-from .steps import build_model, make_eval_step, make_train_step
+from .steps import (build_model, make_eval_step, make_predict_fn,
+                    make_train_step)
 
 _REGIME_VARIANT = {"a1": "plain", "a2": "cycle", "a3": "embedding",
                    "a4": "plain"}
@@ -98,6 +99,47 @@ def _load_params_any(path: str):
         return c.restore(os.path.abspath(path))
 
 
+def _new_best_report(cfg, val_ds, corrupted_val, state, first_params,
+                     predict_fn, regime, baseline_acc, val_pv, cubic_acc,
+                     epoch, precision):
+    """The reference's new-best reporting (A1_train.py:302-309): violin
+    histogram of {freeze-frame, model, cubic} distributions + a rendered
+    input/prediction/ground-truth strip."""
+    import jax as _jax
+    from ..eval.stats import compare_distributions
+    from ..utils.viz import validation_image
+
+    os.makedirs(cfg.train.results_dir, exist_ok=True)
+    dists = {"Baseline": baseline_acc or [], "AI": val_pv}
+    if cubic_acc:
+        dists["Cubicspline"] = cubic_acc
+    dists = {k: v for k, v in dists.items() if v}
+    if len(dists) > 1:
+        compare_distributions(
+            dists, verbose=False,
+            plot_path=os.path.join(
+                cfg.train.results_dir,
+                f"IA_histogram_{val_ds.dataset_name}.jpg"))
+
+    if predict_fn is None:
+        return
+    batch = next(val_ds.batches(cfg.data.batch_size,
+                                corrupted=corrupted_val))
+    with _jax.default_matmul_precision(precision):
+        args = [jnp.asarray(batch.inputs), jnp.asarray(batch.mask),
+                jnp.asarray(batch.clean), jnp.asarray(batch.length)]
+        if regime == "a2":
+            pred, shown = predict_fn(state.params, *args, first_params)
+        else:
+            pred, shown = predict_fn(state.params, *args)
+    t = int(batch.length[0])
+    validation_image(
+        np.asarray(shown)[0, :t], np.asarray(pred)[0, :t],
+        np.asarray(batch.clean)[0, :t],
+        path=os.path.join(cfg.train.results_dir,
+                          f"validation_epoch{epoch}.jpg"))
+
+
 def train(cfg: Config, train_ds: Optional[KeypointDataset] = None,
           val_ds: Optional[KeypointDataset] = None,
           use_wandb: bool = False) -> TrainResult:
@@ -156,6 +198,8 @@ def train(cfg: Config, train_ds: Optional[KeypointDataset] = None,
 
     train_step = make_train_step(model, cfg, stats, first_model, freeze_mask)
     eval_step = make_eval_step(model, cfg, first_model)
+    predict_fn = make_predict_fn(model, cfg, first_model) \
+        if cfg.train.save_plots else None
 
     # -- schedules ----------------------------------------------------------
     if regime == "a3":
@@ -172,6 +216,7 @@ def train(cfg: Config, train_ds: Optional[KeypointDataset] = None,
     ckpt_dir = os.path.join(cfg.train.checkpoint_dir, logger.run_name)
 
     min_loss, best_epoch, patience = float("inf"), -1, 0
+    cubic_acc: Optional[List[float]] = None
     train_curve: List[float] = []
     val_curve: List[float] = []
     baseline_acc: Optional[List[float]] = None
@@ -209,6 +254,7 @@ def train(cfg: Config, train_ds: Optional[KeypointDataset] = None,
         # ---- eval ----
         val_pv: List[float] = []
         base_pv: List[float] = []
+        cubic_pv: List[float] = []
         with jax.default_matmul_precision(precision):
             for batch in val_ds.batches(cfg.data.batch_size, shuffle=False,
                                         corrupted=corrupted_val):
@@ -224,9 +270,32 @@ def train(cfg: Config, train_ds: Optional[KeypointDataset] = None,
                 keep = batch.weight > 0
                 val_pv.extend(np.asarray(per_video)[keep].tolist())
                 base_pv.extend(np.asarray(base)[keep].tolist())
+
+                if epoch == 0 and cfg.train.epoch0_cubic_baseline and \
+                        regime != "a3":
+                    # cubic of x_no_sota scored with the eval criterion
+                    # (A1_train.py:193-195)
+                    from ..ops.cubic_spline import cubic_interpolation_batch
+                    from ..ops import losses as loss_ops
+                    T = batch.clean.shape[1]
+                    x_no = args[0][:, 1:T + 1]
+                    y_mask = args[1][:, 1:T + 1]
+                    cub = cubic_interpolation_batch(x_no, y_mask)
+                    valid = jnp.asarray(batch.valid)
+                    if regime == "a4":
+                        cl = loss_ops.euclidean_distance_loss(
+                            cub, args[2], frame_weight=valid)
+                    else:
+                        cl = loss_ops.euclidean_loss(
+                            cub, args[2], frame_weight=valid)
+                    cubic_pv.extend(np.asarray(cl)[keep].tolist())
         val_loss = float(np.mean(val_pv))
         if baseline_acc is None:
             baseline_acc = base_pv  # epoch-0 freeze-frame baseline
+        if epoch == 0 and cubic_pv:
+            cubic_acc = cubic_pv
+        elif epoch == 0:
+            cubic_acc = None
 
         train_curve.append(train_loss)
         val_curve.append(val_loss)
@@ -234,6 +303,11 @@ def train(cfg: Config, train_ds: Optional[KeypointDataset] = None,
         improved = val_loss < min_loss
         if improved:
             min_loss, best_epoch, patience = val_loss, epoch, 0
+            if cfg.train.save_plots:
+                _new_best_report(cfg, val_ds, corrupted_val, state,
+                                 first_params, predict_fn, regime,
+                                 baseline_acc, val_pv, cubic_acc, epoch,
+                                 precision)
             if cfg.train.save_checkpoints:
                 ckpt_path = os.path.abspath(os.path.join(ckpt_dir, "best"))
                 import orbax.checkpoint as ocp

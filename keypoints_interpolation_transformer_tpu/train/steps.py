@@ -42,16 +42,17 @@ from .state import TrainState, apply_gradients
 def build_model(model_cfg, variant: Optional[str] = None):
     v = variant or model_cfg.variant
     dtype = jnp.dtype(model_cfg.compute_dtype)
+    impl = getattr(model_cfg, "attention_impl", "xla")
     if v == "plain":
         return KeypointCompleter(
             hidden_dim=model_cfg.hidden_dim, num_layers=model_cfg.num_layers,
             num_heads=model_cfg.num_heads, input_size=model_cfg.input_size,
-            ff_dim=model_cfg.ff_dim, dtype=dtype)
+            ff_dim=model_cfg.ff_dim, dtype=dtype, attention_impl=impl)
     if v == "cycle":
         return keypoint_completer_cycle(
             model_cfg.hidden_dim, model_cfg.num_layers, model_cfg.num_heads,
             input_size=model_cfg.input_size, ff_dim=model_cfg.ff_dim,
-            dtype=dtype)
+            dtype=dtype, attention_impl=impl)
     if v == "embedding":
         return Embedding(hidden_dim=model_cfg.hidden_dim,
                          input_size=model_cfg.input_size, dtype=dtype)
@@ -111,12 +112,15 @@ def _weighted_mean(per_video, weight):
 def completer_forward(model, params, x, x_no, x_mask, y_mask, valid,
                       mask_kind: str = "repeat-inc"):
     T = x.shape[1]
-    src_bias = attention_bias(mask_kind, x_mask, T)
-    tgt_bias = attention_bias(mask_kind, y_mask, T)
+    src_bias = tgt_bias = None
+    if model.attention_impl != "pallas":  # pallas builds biases in-kernel
+        src_bias = attention_bias(mask_kind, x_mask, T)
+        tgt_bias = attention_bias(mask_kind, y_mask, T)
     return model.apply({"params": params}, x, x_no,
                        src_frame_mask=x_mask, tgt_frame_mask=y_mask,
                        src_bias=src_bias, tgt_bias=tgt_bias,
-                       valid_mask=valid)
+                       valid_mask=valid,
+                       src_mask_kind=mask_kind, tgt_mask_kind=mask_kind)
 
 
 def cycle_forward(first_model, first_params, model, params,
@@ -130,7 +134,8 @@ def cycle_forward(first_model, first_params, model, params,
     # a uniform +1 on the logits (softmax no-op) reproduced for fidelity
     return model.apply({"params": params}, x_no, pred1,
                        src_frame_mask=ones, tgt_frame_mask=ones,
-                       valid_mask=valid)
+                       valid_mask=valid,
+                       src_mask_kind="all", tgt_mask_kind="all")
 
 
 # ---------------------------------------------------------------------------
@@ -231,6 +236,32 @@ def make_train_step(model, cfg, stats, first_model=None,
         raise ValueError(f"unknown regime {regime!r}")
 
     return jax.jit(step, donate_argnums=(0,))
+
+
+def make_predict_fn(model, cfg, first_model=None) -> Callable:
+    """Composited predictions on a precorrupted batch — used for the
+    reference's new-best validation imagery (A1_train.py:209-215,305-309)."""
+    regime = cfg.train.regime
+
+    def predict(params, inputs, mask, clean, length, first_params=None):
+        x, x_no, x_mask, y_mask, valid = shift_streams(inputs, mask, length)
+        if regime == "a3":
+            x = zero_missing_frames(x, x_mask)
+            return model.apply({"params": params}, x), x
+        if regime == "a2":
+            pred = cycle_forward(first_model, first_params, model, params,
+                                 x, x_no, x_mask, y_mask, valid)
+        else:
+            if regime == "a4":
+                x = zero_missing_frames(x, x_mask)
+            pred = completer_forward(model, params, x, x_no, x_mask,
+                                     y_mask, valid)
+        comp = losses.composite_prediction(pred, clean, y_mask)
+        # reference shows inputs with missing frames blanked (A1:210)
+        shown = x * (1.0 - x_mask)[..., None, None]
+        return comp, shown
+
+    return jax.jit(predict)
 
 
 def make_eval_step(model, cfg, first_model=None) -> Callable:

@@ -26,6 +26,7 @@ class ModelConfig:
     # "default" = bf16 MXU passes (fast path)
     matmul_precision: str = "highest"
     compute_dtype: str = "float32"
+    attention_impl: str = "xla"    # "xla" | "pallas" (fused TPU kernel)
 
 
 @dataclasses.dataclass
@@ -73,6 +74,12 @@ class TrainConfig:
     a3_lr_drop_epoch: int = 80
     log_every: int = 1
     save_checkpoints: bool = True
+    # on new best: violin histogram + validation strips (reference
+    # sent_histogram / sent_validation_result, A1_train.py:304-309)
+    save_plots: bool = False
+    results_dir: str = "results"
+    # epoch-0 cubic-spline baseline (A1_train.py:193-195)
+    epoch0_cubic_baseline: bool = True
 
 
 @dataclasses.dataclass

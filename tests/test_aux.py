@@ -1,0 +1,119 @@
+"""Auxiliary subsystems: HDF5 schema round trip, ETL split, intermediate
+materialization, viz rendering, .pth export round trip, registry."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from keypoints_interpolation_transformer_tpu.data.hdf5_io import (
+    read_split, write_split)
+from keypoints_interpolation_transformer_tpu.data.intermediate import (
+    generate_intermediate, read_intermediate)
+from keypoints_interpolation_transformer_tpu.data.pipeline import (
+    KeypointDataset, bucket_length)
+from keypoints_interpolation_transformer_tpu.data.prepare import (
+    shuffle_and_split)
+from keypoints_interpolation_transformer_tpu.data.synthetic import (
+    synthetic_dataset)
+from keypoints_interpolation_transformer_tpu.utils.registry import (
+    dataset_name_from_path, missing_stats)
+from keypoints_interpolation_transformer_tpu.utils.viz import (
+    render_frame, validation_image)
+
+
+def test_hdf5_round_trip(tmp_path, rng):
+    videos = [rng.uniform(size=(t, 54, 2)).astype(np.float32)
+              for t in (5, 9, 3)]
+    p = str(tmp_path / "split.hdf5")
+    write_split(p, videos, labels=["a", "b", "c"])
+    back, labels, names = read_split(p)
+    assert labels == ["a", "b", "c"]
+    for v, w in zip(videos, back):
+        np.testing.assert_array_equal(v, w)
+
+
+def test_reference_schema_layout(tmp_path, rng):
+    """Stored records are flattened (T, 2, 54) — the reference layout
+    (1_prepare_dataset.py:43-45, dataloader.py:267)."""
+    import h5py
+
+    v = rng.uniform(size=(4, 54, 2)).astype(np.float32)
+    p = str(tmp_path / "s.hdf5")
+    write_split(p, [v])
+    with h5py.File(p) as f:
+        g = f["no_missing"]
+        rec = np.asarray(g["data"][0]).reshape(4, 2, 54)
+        np.testing.assert_array_equal(np.transpose(rec, (0, 2, 1)), v)
+        assert list(g["shape"][:]) == [2, 54]
+
+
+def test_shuffle_split_deterministic():
+    items = list(range(10))
+    a1, b1 = shuffle_and_split(items, seed=42)
+    a2, b2 = shuffle_and_split(items, seed=42)
+    assert a1 == a2 and b1 == b2
+    assert len(a1) == 8 and len(b1) == 2
+    assert sorted(a1 + b1) == items
+
+
+def test_intermediate_round_trip(tmp_path):
+    ds = KeypointDataset(videos=synthetic_dataset(4, 16, 24),
+                         dataset_name="all", bucket_multiple=16,
+                         max_seq_len=64)
+    p = str(tmp_path / "inter.hdf5")
+    generate_intermediate(ds, p, seed=1)
+    xs, ys, xms, yms = read_intermediate(p)
+    assert len(xs) == len(ds.videos)
+    for x, y, xm, ym, clean in zip(xs, ys, xms, yms, ds.videos):
+        assert x.shape == (len(clean), 54, 2)
+        np.testing.assert_array_equal(y, clean)
+        # masked x frames are zeroed
+        np.testing.assert_array_equal(x[xm == 1], 0.0)
+        assert len(ym) == len(xm)
+
+
+def test_viz(tmp_path, rng):
+    v = rng.uniform(0.2, 0.8, size=(3, 54, 2)).astype(np.float32)
+    img = render_frame(v[0], label="Input", frame_idx=0)
+    assert img.shape == (256, 256, 3) and img.sum() > 0
+    strip = validation_image(v, v, v, path=str(tmp_path / "val.jpg"))
+    assert strip.shape[0] == 3 * 256
+    assert (tmp_path / "val.jpg").exists()
+
+
+def test_pth_export_round_trip(tmp_path, rng):
+    import jax
+    from keypoints_interpolation_transformer_tpu.models.completer import (
+        KeypointCompleter)
+    from keypoints_interpolation_transformer_tpu.train.checkpoint import (
+        load_reference_checkpoint, save_reference_checkpoint)
+
+    model = KeypointCompleter(hidden_dim=32, num_layers=2, num_heads=4,
+                              ff_dim=64)
+    x = jnp.zeros((1, 8, 54, 2))
+    params = model.init(jax.random.key(0), x, x)["params"]
+    p = str(tmp_path / "export.pth")
+    save_reference_checkpoint(p, params, hidden_dim=32, num_layers=2,
+                              num_heads=4)
+    back, hyper = load_reference_checkpoint(p)
+    assert hyper["hidden_dim"] == 32
+    leaves1 = jax.tree.leaves(params)
+    leaves2 = jax.tree.leaves(back)
+    assert len(leaves1) == len(leaves2)
+    for a, b in zip(leaves1, leaves2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_registry():
+    s = missing_stats("AUTSL")
+    assert s.samples == 491 and s.mean_consecutive_missing == 5.28
+    assert missing_stats("all") is None
+    with pytest.raises(KeyError):
+        missing_stats("NOPE")
+    assert dataset_name_from_path("data/validation--AUTSL.hdf5") == "AUTSL"
+
+
+def test_bucketing():
+    assert bucket_length(5, 32, 512) == 32
+    assert bucket_length(33, 32, 512) == 64
+    assert bucket_length(600, 32, 512) == 512

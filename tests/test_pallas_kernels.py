@@ -1,0 +1,102 @@
+"""Pallas kernels (run in interpreter mode on CPU; the real-TPU path is
+exercised by bench/verification): parity with the XLA reference
+implementations, forward and gradient."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from keypoints_interpolation_transformer_tpu.models.completer import (
+    KeypointCompleter)
+from keypoints_interpolation_transformer_tpu.ops import losses
+from keypoints_interpolation_transformer_tpu.ops.masks import attention_bias
+from keypoints_interpolation_transformer_tpu.ops.pallas.attention import (
+    fused_attention, xla_attention)
+from keypoints_interpolation_transformer_tpu.ops.pallas.masked_loss import (
+    fused_euclidean_loss)
+
+
+def _qkv(rng, B=2, T=32, H=4, dh=32):
+    return tuple(jnp.asarray(rng.normal(size=(B, T, H, dh)).astype(
+        np.float32)) for _ in range(3))
+
+
+@pytest.mark.parametrize("kind,keypad", [("repeat-inc", True),
+                                         ("repeat-inc", False),
+                                         ("all", True), ("all", False)])
+def test_fused_attention_matches_xla(rng, kind, keypad):
+    q, k, v = _qkv(rng)
+    mask = jnp.asarray((rng.random((2, 32)) < 0.3).astype(np.float32))
+    valid = jnp.asarray((np.arange(32)[None, :] <
+                         np.array([[32], [20]])).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_attention(q, k, v, mask, valid, kind, keypad)
+    want = xla_attention(q, k, v, mask, valid, kind, keypad)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_fused_attention_grads_match(rng):
+    q, k, v = _qkv(rng)
+    mask = jnp.asarray((rng.random((2, 32)) < 0.3).astype(np.float32))
+    valid = jnp.ones((2, 32), jnp.float32)
+
+    def loss_fused(q, k, v):
+        return jnp.sum(fused_attention(q, k, v, mask, valid,
+                                       "repeat-inc", True) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(xla_attention(q, k, v, mask, valid,
+                                     "repeat-inc", True) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_model_pallas_impl_matches_xla_impl(rng):
+    """Whole model with attention_impl='pallas' equals the default path."""
+    T = 16
+    x = jnp.asarray(rng.uniform(size=(1, T, 54, 2)).astype(np.float32))
+    f = jnp.asarray(rng.uniform(size=(1, T, 54, 2)).astype(np.float32))
+    m = jnp.asarray((rng.random((1, T)) < 0.4).astype(np.float32))
+    valid = jnp.ones((1, T), jnp.float32)
+
+    kw = dict(hidden_dim=32, num_layers=1, num_heads=4, ff_dim=64)
+    model_x = KeypointCompleter(**kw)
+    model_p = KeypointCompleter(**kw, attention_impl="pallas")
+    params = model_x.init(jax.random.key(0), x, f)
+
+    bias = attention_bias("repeat-inc", m, T)
+    out_x = model_x.apply(params, x, f, src_frame_mask=m, tgt_frame_mask=m,
+                          src_bias=bias, tgt_bias=bias, valid_mask=valid)
+    with pltpu.force_tpu_interpret_mode():
+        out_p = model_p.apply(params, x, f, src_frame_mask=m,
+                              tgt_frame_mask=m, valid_mask=valid)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
+                               atol=2e-5)
+
+
+def test_fused_euclidean_loss(rng):
+    p = jnp.asarray(rng.normal(size=(3, 16, 54, 2)).astype(np.float32))
+    t = jnp.asarray(rng.normal(size=(3, 16, 54, 2)).astype(np.float32))
+    w = jnp.asarray((np.arange(16)[None, :] <
+                     np.array([[16], [9], [4]])).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_euclidean_loss(p, t, w)
+    want = losses.euclidean_loss(p, t, frame_weight=w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
+
+    def f1(p):
+        return jnp.sum(fused_euclidean_loss(p, t, w))
+
+    def f2(p):
+        return jnp.sum(losses.euclidean_loss(p, t, frame_weight=w))
+
+    with pltpu.force_tpu_interpret_mode():
+        g1 = jax.grad(f1)(p)
+    g2 = jax.grad(f2)(p)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-6)
