@@ -189,6 +189,42 @@ def zero_missing_frames(video, mask):
     return jnp.where(mask[..., None, None] > 0, 0.0, video)
 
 
+def put_missing_values(key, video, bm=None):
+    """Alternate corruption (reference put_missing_values,
+    dataloader.py:288-312 — dead there, call commented at :670): on a
+    random set of frames, collapse the left and/or right hand onto its
+    wrist position.  Returns (video, per-frame hand-corruption code in
+    {0: left, 1: right, 2: both, -1: untouched})."""
+    from ..data.keypoints import body_map
+
+    bm = bm or body_map()
+    T = video.shape[0]
+    k_amt, k_pick, k_type = jax.random.split(key, 3)
+    # random.randrange(1, T) frames chosen WITH replacement (:293-294)
+    amount = jax.random.randint(k_amt, (), 1, jnp.maximum(T, 2))
+    idx = jax.random.randint(k_pick, (T,), 0, T)
+    take = jnp.arange(T) < amount
+    hand_type = jax.random.randint(k_type, (T,), 0, 3)
+
+    chosen = jnp.full(T, -1, jnp.int32)
+    chosen = chosen.at[idx].max(jnp.where(take, hand_type, -1))
+
+    left = jnp.asarray(bm.left_hand)
+    right = jnp.asarray(bm.right_hand)
+    lw = video[:, bm.index_of["pose_left_wrist"], :][:, None, :]
+    rw = video[:, bm.index_of["pose_right_wrist"], :][:, None, :]
+
+    do_left = jnp.isin(chosen, jnp.asarray([0, 2]))[:, None, None]
+    do_right = jnp.isin(chosen, jnp.asarray([1, 2]))[:, None, None]
+    out = video.at[:, left, :].set(
+        jnp.where(do_left, jnp.broadcast_to(lw, video[:, left, :].shape),
+                  video[:, left, :]))
+    out = out.at[:, right, :].set(
+        jnp.where(do_right, jnp.broadcast_to(rw, out[:, right, :].shape),
+                  out[:, right, :]))
+    return out, chosen
+
+
 def add_sos(video, mask=None, sos_value: float = 1.0):
     """Prepend an all-ones start-of-sequence frame; extend the mask with 0
     (dataloader.py:482-493).  Works on (T, K, 2) or batched (B, T, K, 2)."""
@@ -200,3 +236,45 @@ def add_sos(video, mask=None, sos_value: float = 1.0):
     mpad = [(0, 0)] * mask.ndim
     mpad[-1] = (1, 0)
     return out, jnp.pad(mask, mpad, constant_values=0.0)
+
+
+def add_sos_eos(video, mask=None):
+    """SOS (all ones) + EOS (zeros except the last coordinate, which copies
+    the SOS value 1) — reference add_sos_eos (dataloader.py:495-509; dead,
+    call commented at :679)."""
+    K, C = video.shape[-2], video.shape[-1]
+    sos = jnp.ones(video.shape[:-3] + (1, K, C), video.dtype)
+    eos = jnp.concatenate(
+        [jnp.zeros(video.shape[:-3] + (1, K, C - 1), video.dtype),
+         jnp.ones(video.shape[:-3] + (1, K, 1), video.dtype)], axis=-1)
+    out = jnp.concatenate([sos, video, eos], axis=-3)
+    if mask is None:
+        return out, None
+    zero = jnp.zeros(mask.shape[:-1] + (1,), mask.dtype)
+    return out, jnp.concatenate([zero, mask, zero], axis=-1)
+
+
+def delete_last_sequence(video, mask):
+    """Drop the final frame (reference dataloader.py:511-516; dead)."""
+    return video[..., :-1, :, :], mask[..., :-1]
+
+
+def create_chunks(videos, cut_size: int = 20):
+    """Re-cut ragged videos into fixed-size chunks (reference create_chunks,
+    dataloader.py:518-542; dead, call commented at :596).  Host-side numpy:
+    full chunks plus, when a remainder exists, the LAST cut_size frames;
+    videos shorter than cut_size pass through unchanged."""
+    import numpy as np
+
+    out = []
+    for v in videos:
+        t = len(v)
+        times, rest = t // cut_size, t % cut_size
+        if times == 0:
+            out.append(v)
+            continue
+        for c in range(times):
+            out.append(v[cut_size * c:cut_size * (c + 1)])
+        if rest > 0:
+            out.append(v[-cut_size:])
+    return out

@@ -81,3 +81,35 @@ def normalize_pose(video: jnp.ndarray, bm=None) -> jnp.ndarray:
 
 
 normalize_pose_batch = jax.vmap(normalize_pose, in_axes=(0,))
+
+
+def normalize_hand(points: jnp.ndarray) -> jnp.ndarray:
+    """Square-bbox part normalization with 10% margin.
+
+    Re-derivation of the reference's ``normalize_hand``
+    (dataloader.py:144-196) — dead in the reference pipeline (its calls are
+    commented out at dataloader.py:214-216) but part of the public surface;
+    kept here vectorized for parity.  Input (T, P, 2), in-place semantics
+    replaced by a pure return.
+    """
+    x, y = points[..., 0], points[..., 1]                  # (T, P)
+    min_x = jnp.min(x, axis=1, keepdims=True)
+    max_x = jnp.max(x, axis=1, keepdims=True)
+    min_y = jnp.min(y, axis=1, keepdims=True)
+    max_y = jnp.max(y, axis=1, keepdims=True)
+    w, h = max_x - min_x, max_y - min_y
+
+    wide = w > h
+    dx = jnp.where(wide, 0.1 * w, 0.1 * h + (h - w) / 2.0)
+    dy = jnp.where(wide, 0.1 * w + (w - h) / 2.0, 0.1 * h)
+
+    sx, sy = min_x - dx, min_y - dy
+    ex, ey = max_x + dx, max_y + dy
+
+    nx = (x - sx) / (ex - sx)
+    ny = (y - sy) / (ey - sy)
+    out = jnp.stack([nx, ny], axis=-1)
+
+    degenerate = jnp.logical_or((ex - sx) == 0.0, (sy - ey) == 0.0)
+    skip = jnp.logical_or(x == 0.0, degenerate)            # (T, P)
+    return jnp.where(skip[..., None], points, out)

@@ -276,3 +276,62 @@ def test_filter_bad_hands(rng):
     last[-9, i["rightHand_thumb_tip"]] = last[-9, i["pose_right_wrist"]]
     last[-9, i["rightHand_middle_finger_dip"]] = last[-9, i["pose_right_wrist"]]
     assert not is_bad_video(last)
+
+
+# ---------------------------------------------------------------------------
+# inventory-completeness helpers (dead in the reference, public here)
+# ---------------------------------------------------------------------------
+
+def test_normalize_hand_bbox(rng):
+    from keypoints_interpolation_transformer_tpu.transforms.normalize import (
+        normalize_hand)
+    pts = rng.uniform(0.2, 0.8, size=(3, 21, 2)).astype(np.float32)
+    out = np.asarray(normalize_hand(jnp.asarray(pts)))
+    # normalized into the margin box: strictly inside (0, 1)
+    assert out.min() > 0.0 and out.max() < 1.0
+    # zero landmarks skipped
+    pts[:, 4, 0] = 0.0
+    out = np.asarray(normalize_hand(jnp.asarray(pts)))
+    np.testing.assert_array_equal(out[:, 4], pts[:, 4])
+
+
+def test_put_missing_values_collapses_hands(rng):
+    from keypoints_interpolation_transformer_tpu.transforms.corruption import (
+        put_missing_values)
+    v = rng.uniform(0.1, 0.9, size=(12, 54, 2)).astype(np.float32)
+    out, chosen = put_missing_values(jax.random.key(3), jnp.asarray(v))
+    out, chosen = np.asarray(out), np.asarray(chosen)
+    i = BM.index_of
+    hit = False
+    for t in range(12):
+        if chosen[t] in (0, 2):
+            np.testing.assert_array_equal(
+                out[t, list(BM.left_hand)],
+                np.tile(v[t, i["pose_left_wrist"]], (21, 1)))
+            hit = True
+        if chosen[t] in (1, 2):
+            np.testing.assert_array_equal(
+                out[t, list(BM.right_hand)],
+                np.tile(v[t, i["pose_right_wrist"]], (21, 1)))
+            hit = True
+        if chosen[t] == -1:
+            np.testing.assert_array_equal(out[t], v[t])
+    assert hit
+
+
+def test_add_sos_eos_and_chunks(rng):
+    from keypoints_interpolation_transformer_tpu.transforms.corruption import (
+        add_sos_eos, create_chunks, delete_last_sequence)
+    v = jnp.asarray(rng.uniform(0.1, 0.9, size=(5, 54, 2)).astype(np.float32))
+    out, m = add_sos_eos(v, jnp.ones(5))
+    assert out.shape == (7, 54, 2)
+    np.testing.assert_array_equal(np.asarray(out)[0], 1.0)      # SOS
+    np.testing.assert_array_equal(np.asarray(out)[-1, :, 0], 0.0)  # EOS x
+    np.testing.assert_array_equal(np.asarray(out)[-1, :, 1], 1.0)  # EOS y
+    np.testing.assert_array_equal(np.asarray(m), [0, 1, 1, 1, 1, 1, 0])
+
+    vv, mm = delete_last_sequence(v, jnp.ones(5))
+    assert vv.shape == (4, 54, 2) and mm.shape == (4,)
+
+    chunks = create_chunks([np.zeros((45, 54, 2)), np.zeros((7, 54, 2))])
+    assert [len(c) for c in chunks] == [20, 20, 20, 7]
