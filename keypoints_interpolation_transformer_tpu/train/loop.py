@@ -28,7 +28,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from jax.sharding import NamedSharding, PartitionSpec as P
+
 from ..data.pipeline import KeypointDataset
+from ..data.prefetch import prefetch_to_device
 from ..data.synthetic import synthetic_dataset
 from ..parallel.mesh import make_mesh, shard_batch, shard_params
 from ..utils.config import Config
@@ -230,25 +233,29 @@ def train(cfg: Config, train_ds: Optional[KeypointDataset] = None,
         # ---- train ----
         per_video_losses: List[np.ndarray] = []
         weights: List[np.ndarray] = []
+        device = NamedSharding(mesh, P("data")) if mesh is not None else None
+        stream = prefetch_to_device(
+            train_ds.batches(cfg.data.batch_size, shuffle=True,
+                             seed=cfg.train.seed + epoch),
+            transform=lambda b: (b.clean, b.length, b.weight),
+            device=device)
         with jax.default_matmul_precision(precision):
-            for batch in train_ds.batches(cfg.data.batch_size, shuffle=True,
-                                          seed=cfg.train.seed + epoch):
+            for clean, length, weight in stream:
                 k_epoch, k_step = jax.random.split(k_epoch)
-                args = [jnp.asarray(batch.clean), jnp.asarray(batch.length),
-                        jnp.asarray(batch.weight)]
-                if mesh is not None:
-                    args = [shard_batch(a, mesh) for a in args]
                 if regime == "a2":
-                    state, m = train_step(state, *args, k_step,
-                                          jnp.float32(lr), first_params)
+                    state, m = train_step(state, clean, length, weight,
+                                          k_step, jnp.float32(lr),
+                                          first_params)
                 else:
-                    state, m = train_step(state, *args, k_step,
-                                          jnp.float32(lr))
-                per_video_losses.append(np.asarray(m["per_video"]))
-                weights.append(np.asarray(batch.weight))
+                    state, m = train_step(state, clean, length, weight,
+                                          k_step, jnp.float32(lr))
+                # keep device arrays; conversion at epoch end preserves
+                # async dispatch (no per-step host sync)
+                per_video_losses.append(m["per_video"])
+                weights.append(weight)
 
-        pv = np.concatenate(per_video_losses)
-        w = np.concatenate(weights)
+        pv = np.concatenate([np.asarray(x) for x in per_video_losses])
+        w = np.concatenate([np.asarray(x) for x in weights])
         train_loss = float((pv * w).sum() / max(w.sum(), 1.0))
 
         # ---- eval ----
