@@ -107,6 +107,12 @@ def main(argv=None):
     _add_common(p_infer)
     p_infer.add_argument("--checkpoint", type=str, required=True)
 
+    p_serve = sub.add_parser("serve", help="HTTP inpainting endpoint")
+    _add_common(p_serve)
+    p_serve.add_argument("--checkpoint", type=str, required=True)
+    p_serve.add_argument("--host", type=str, default="127.0.0.1")
+    p_serve.add_argument("--port", type=int, default=8321)
+
     a = parser.parse_args(argv)
 
     from .utils.compilation_cache import enable_compilation_cache
@@ -134,6 +140,19 @@ def main(argv=None):
     if a.cmd == "eval-model":
         from .eval.inference import inference_main
         return inference_main(a)
+
+    if a.cmd == "serve":
+        from .eval.serving import Inpainter, serve
+        from .utils.config import ModelConfig
+        mc = None
+        if not a.checkpoint.endswith(".pth"):
+            mc = ModelConfig(hidden_dim=a.hidden_dim,
+                             num_layers=a.num_layers,
+                             num_heads=a.num_heads,
+                             matmul_precision=a.precision)
+        serve(Inpainter.from_checkpoint(a.checkpoint, mc),
+              host=a.host, port=a.port)
+        return 0
 
     return 1
 

@@ -1,0 +1,170 @@
+"""Batch inference API + minimal HTTP serving.
+
+No reference counterpart (the reference ends at evaluation scripts); this
+is the deployment surface: an ``Inpainter`` that loads any checkpoint
+(orbax dir or reference ``.pth``), pads/buckets incoming ragged sequences,
+runs the jitted composite-inpainting forward, and returns only the frames
+that were missing — plus a stdlib-only HTTP endpoint.
+
+POST /inpaint {"videos": [[[x, y] * 54] * T, ...],
+               "masks": [[0/1] * T, ...]}
+  -> {"videos": [...]}  (masked frames replaced by model predictions)
+GET /healthz -> {"ok": true}
+"""
+
+from __future__ import annotations
+
+import json
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.keypoints import NUM_COORDS, NUM_KEYPOINTS
+from ..models.completer import KeypointCompleter
+from ..ops.losses import composite_prediction
+from ..ops.masks import attention_bias
+from ..transforms.corruption import add_sos
+from ..utils.config import ModelConfig
+
+
+class Inpainter:
+    """Checkpoint-backed masked-frame inpainting with shape bucketing."""
+
+    def __init__(self, params, model_cfg: ModelConfig,
+                 bucket_multiple: int = 32, max_seq_len: int = 512):
+        self.model = KeypointCompleter(
+            hidden_dim=model_cfg.hidden_dim,
+            num_layers=model_cfg.num_layers,
+            num_heads=model_cfg.num_heads,
+            input_size=model_cfg.input_size, ff_dim=model_cfg.ff_dim)
+        self.params = params
+        self.precision = model_cfg.matmul_precision
+        self.bucket = bucket_multiple
+        self.max_seq_len = max_seq_len
+        self._jitted = {}
+
+    @classmethod
+    def from_checkpoint(cls, path: str,
+                        model_cfg: Optional[ModelConfig] = None, **kw):
+        if path.endswith(".pth"):
+            from ..train.checkpoint import load_reference_checkpoint
+            params, hyper = load_reference_checkpoint(path)
+            model_cfg = model_cfg or ModelConfig(
+                hidden_dim=int(hyper["hidden_dim"]),
+                num_layers=int(hyper["num_layers"]),
+                num_heads=int(hyper["num_heads"]))
+        else:
+            import orbax.checkpoint as ocp
+            with ocp.StandardCheckpointer() as c:
+                params = c.restore(path)
+            if model_cfg is None:
+                raise ValueError("orbax checkpoints need a ModelConfig")
+        if "params" not in params:
+            params = {"params": params}
+        return cls(params, model_cfg, **kw)
+
+    def _fn(self, t_pad: int):
+        if t_pad not in self._jitted:
+            model = self.model
+
+            @jax.jit
+            def run(params, inputs, mask, clean, valid):
+                x, x_no = inputs[:, :-1], inputs[:, 1:]
+                x_mask, y_mask = mask[:, :-1], mask[:, 1:]
+                src_bias = attention_bias("repeat-inc", x_mask, t_pad)
+                tgt_bias = attention_bias("repeat-inc", y_mask, t_pad)
+                pred = model.apply(params, x, x_no, src_frame_mask=x_mask,
+                                   tgt_frame_mask=y_mask, src_bias=src_bias,
+                                   tgt_bias=tgt_bias, valid_mask=valid)
+                return composite_prediction(pred, clean, y_mask)
+
+            self._jitted[t_pad] = run
+        return self._jitted[t_pad]
+
+    def inpaint(self, videos: Sequence[np.ndarray],
+                masks: Sequence[np.ndarray]) -> List[np.ndarray]:
+        """videos: ragged (T_i, 54, 2); masks: (T_i,) with 1 = missing.
+        Missing frames should carry any placeholder (typically the
+        freeze-frame input); the model's predictions replace them."""
+        out: List[Optional[np.ndarray]] = [None] * len(videos)
+        buckets = {}
+        for i, v in enumerate(videos):
+            t = min(len(v), self.max_seq_len)
+            t_pad = min(((t + self.bucket - 1) // self.bucket) * self.bucket,
+                        self.max_seq_len)
+            buckets.setdefault(t_pad, []).append(i)
+        with jax.default_matmul_precision(self.precision):
+            for t_pad, idxs in buckets.items():
+                B = len(idxs)
+                clean = np.zeros((B, t_pad, NUM_KEYPOINTS, NUM_COORDS),
+                                 np.float32)
+                miss = np.zeros((B, t_pad), np.float32)
+                valid = np.zeros((B, t_pad), np.float32)
+                for row, i in enumerate(idxs):
+                    t = min(len(videos[i]), t_pad)
+                    clean[row, :t] = videos[i][:t]
+                    miss[row, :t] = np.asarray(masks[i][:t])
+                    valid[row, :t] = 1.0
+                inputs, mask = add_sos(jnp.asarray(clean),
+                                       jnp.asarray(miss))
+                res = self._fn(t_pad)(self.params, inputs, mask,
+                                      jnp.asarray(clean),
+                                      jnp.asarray(valid))
+                res = np.asarray(res)
+                for row, i in enumerate(idxs):
+                    t = min(len(videos[i]), t_pad)
+                    out[i] = res[row, :t]
+        return out  # type: ignore[return-value]
+
+
+def serve(inpainter: Inpainter, host: str = "127.0.0.1", port: int = 8321):
+    """Minimal stdlib HTTP server around an Inpainter (blocking)."""
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _send(self, code, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {"ok": True})
+            else:
+                self._send(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/inpaint":
+                self._send(404, {"error": "not found"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n))
+                videos = [np.asarray(v, np.float32) for v in req["videos"]]
+                masks = [np.asarray(m, np.float32) for m in req["masks"]]
+                if len(videos) != len(masks):
+                    raise ValueError("videos/masks length mismatch")
+                for v, m in zip(videos, masks):
+                    if v.ndim != 3 or v.shape[1:] != (NUM_KEYPOINTS,
+                                                      NUM_COORDS):
+                        raise ValueError(
+                            f"video must be (T, {NUM_KEYPOINTS}, "
+                            f"{NUM_COORDS}), got {list(v.shape)}")
+                    if len(m) != len(v):
+                        raise ValueError("mask length != video length")
+                res = inpainter.inpaint(videos, masks)
+                self._send(200, {"videos": [r.tolist() for r in res]})
+            except (KeyError, ValueError, json.JSONDecodeError) as e:
+                self._send(400, {"error": str(e)})
+
+    server = HTTPServer((host, port), Handler)
+    print(f"serving on http://{host}:{port}")
+    server.serve_forever()
