@@ -23,7 +23,7 @@ import time
 
 import numpy as np
 
-BATCH, T, K = 32, 128, 54
+BATCH, T, K = 256, 128, 54
 HIDDEN, LAYERS, HEADS = 256, 6, 8
 STEPS = 8
 TORCH_BASELINE_VIDEOS = 6
@@ -64,33 +64,41 @@ def bench_jax():
         return composite_prediction(pred, clean, miss)
 
     def timed(precision):
+        # NOTE: steps are chained through a data dependency and closed with
+        # a host readback of a dependent scalar — on remote-tunnel backends
+        # block_until_ready() can return at enqueue time, which would time
+        # dispatch rate instead of device execution.
         with jax.default_matmul_precision(precision):
             f = jax.jit(fwd)
             out = f(params, masked, clean, miss)
-            out.block_until_ready()          # compile + warm
+            float(jnp.sum(out))              # compile + warm, real sync
             t0 = time.perf_counter()
+            x = masked
             for _ in range(STEPS):
-                out = f(params, masked, clean, miss)
-            out.block_until_ready()
+                x = f(params, x, clean, miss)
+            float(jnp.sum(x))                # forces the whole chain
             dt = time.perf_counter() - t0
+            out = f(params, masked, clean, miss)
         fps = BATCH * T * STEPS / dt
         return fps, np.asarray(out)
 
+    # fastest matmul precision whose masked-frame MPJPE stays within the
+    # 1e-4 parity bar vs the f32 forward (BASELINE.json target)
     fps_hi, out_hi = timed("highest")
-    fps_bf, out_bf = timed("default")
-
-    # masked-frame MPJPE delta between bf16 and f32-highest forwards
-    d = np.sqrt(((out_bf - out_hi) ** 2).sum(-1))          # (B, T, K)
     w = miss_np[..., None]
-    mpjpe_delta = float((d * w).sum() / max(w.sum() * K, 1.0))
 
-    if mpjpe_delta < 1e-4:
-        return fps_bf, {"precision": "bf16_matmul",
-                        "mpjpe_delta_vs_f32": mpjpe_delta,
-                        "f32_fps": fps_hi}
-    return fps_hi, {"precision": "f32_highest",
-                    "mpjpe_delta_bf16": mpjpe_delta,
-                    "bf16_fps": fps_bf}
+    def gate(out):
+        d = np.sqrt(((out - out_hi) ** 2).sum(-1))         # (B, T, K)
+        return float((d * w).sum() / max(w.sum() * K, 1.0))
+
+    best = (fps_hi, {"precision": "f32_highest"})
+    for prec, name in (("high", "bf16x3"), ("default", "bf16")):
+        fps, out = timed(prec)
+        delta = gate(out)
+        if delta < 1e-4 and fps > best[0]:
+            best = (fps, {"precision": name, "mpjpe_delta_vs_f32": delta,
+                          "f32_fps": fps_hi})
+    return best
 
 
 def bench_torch_reference_pattern():

@@ -43,11 +43,26 @@ class StepTimer:
         self._t0: Optional[float] = None
         self._last_out = None
 
+    @staticmethod
+    def _sync(out):
+        """Force REAL execution: on remote-tunnel backends
+        block_until_ready() can return at enqueue time, so read back a
+        dependent scalar instead."""
+        import jax.numpy as jnp
+
+        leaves = [x for x in jax.tree.leaves(out)
+                  if hasattr(x, "dtype") and jnp.issubdtype(
+                      x.dtype, jnp.floating)]
+        if leaves:
+            float(jnp.sum(leaves[0]))
+        else:
+            jax.block_until_ready(out)
+
     def step(self, out, frames: int = 0):
         self._seen += 1
         self._last_out = out
         if self._seen == self.warmup:
-            jax.block_until_ready(out)
+            self._sync(out)
             self._t0 = time.perf_counter()
             self._frames = 0
         elif self._seen > self.warmup:
@@ -56,7 +71,7 @@ class StepTimer:
     def summary(self) -> dict:
         if self._t0 is None or self._seen <= self.warmup:
             return {"steps": 0}
-        jax.block_until_ready(self._last_out)
+        self._sync(self._last_out)
         dt = time.perf_counter() - self._t0
         steps = self._seen - self.warmup
         return {"steps": steps, "wall_sec": dt,
