@@ -73,7 +73,6 @@ def evaluate_baselines(val_ds: KeypointDataset, batch_size: int = 8,
 
 
 def baselines_main(args) -> int:
-    from ..utils.config import DataConfig
     from ..data.synthetic import synthetic_dataset
 
     if args.synthetic:

@@ -13,8 +13,6 @@ from __future__ import annotations
 
 import json
 import time
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -22,7 +20,7 @@ import numpy as np
 from ..data.pipeline import KeypointDataset
 from ..ops import losses
 from ..train.steps import build_model, shift_streams, completer_forward
-from ..utils.config import Config, ModelConfig
+from ..utils.config import ModelConfig
 
 
 def evaluate_checkpoint(params, model_cfg: ModelConfig,

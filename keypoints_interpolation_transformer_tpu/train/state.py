@@ -13,7 +13,7 @@ zero and the parameters never move — equivalent to requires_grad=False.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -22,13 +22,11 @@ inside Dataset.__getitem__ (dataloader.py:623-686).
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
 
-from ..data.keypoints import FRAME_FEATURES
 from ..models.completer import Embedding, KeypointCompleter, \
     keypoint_completer_cycle
 from ..ops import losses
@@ -36,7 +34,7 @@ from ..ops.masks import attention_bias
 from ..transforms.augment import random_augment
 from ..transforms.corruption import add_sos, put_missing_frames, \
     zero_missing_frames
-from .state import TrainState, apply_gradients
+from .state import apply_gradients
 
 
 def build_model(model_cfg, variant: Optional[str] = None):

@@ -33,7 +33,6 @@ key threading, so the *distribution* matches but individual draws differ.
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import Optional
 
 import jax
@@ -264,8 +263,6 @@ def create_chunks(videos, cut_size: int = 20):
     dataloader.py:518-542; dead, call commented at :596).  Host-side numpy:
     full chunks plus, when a remainder exists, the LAST cut_size frames;
     videos shorter than cut_size pass through unchanged."""
-    import numpy as np
-
     out = []
     for v in videos:
         t = len(v)
