@@ -22,7 +22,7 @@ from keypoints_interpolation_transformer_tpu.ops.masks import attention_bias
 from keypoints_interpolation_transformer_tpu.train.checkpoint import (
     completer_params_from_torch, embedding_params_from_torch)
 
-D, HEADS, LAYERS, T, K = 32, 4, 2, 9, 54
+D, HEADS, LAYERS, T, K, FF = 32, 4, 2, 9, 54, 64
 
 
 class _TorchSwiGLU(tnn.Module):
@@ -62,7 +62,8 @@ class _TorchOracle(tnn.Module):
         self.swiGlu_filled_prev = _TorchSwiGLU(d)
         self.transformer = tnn.Transformer(
             d_model=d, nhead=heads, activation="gelu", dropout=0.0,
-            num_encoder_layers=layers, num_decoder_layers=layers)
+            num_encoder_layers=layers, num_decoder_layers=layers,
+            dim_feedforward=FF)
         self.swiGlu_decoded = _TorchSwiGLU(d)
         self.fc_final = tnn.Linear(d, input_size)
         self.register_buffer("pe", _pe_table(2048, d))
@@ -122,10 +123,12 @@ def test_completer_matches_torch_oracle(rng, variant):
     params = completer_params_from_torch(sd, LAYERS)
 
     if cycle:
-        model = keypoint_completer_cycle(D, LAYERS, HEADS, input_size=K * 2)
+        model = keypoint_completer_cycle(D, LAYERS, HEADS, input_size=K * 2,
+                                         ff_dim=FF)
     else:
         model = KeypointCompleter(hidden_dim=D, num_layers=LAYERS,
-                                  num_heads=HEADS, input_size=K * 2)
+                                  num_heads=HEADS, input_size=K * 2,
+                                  ff_dim=FF)
     got = model.apply(
         {"params": params},
         jnp.asarray(x)[None], jnp.asarray(filled)[None],
@@ -143,7 +146,7 @@ def test_padded_batch_equals_unpadded(rng):
     sd = {k: v.numpy() for k, v in oracle.state_dict().items()}
     params = completer_params_from_torch(sd, LAYERS)
     model = KeypointCompleter(hidden_dim=D, num_layers=LAYERS,
-                              num_heads=HEADS, input_size=K * 2)
+                              num_heads=HEADS, input_size=K * 2, ff_dim=FF)
 
     x, filled, fmask = _random_inputs(rng, t=6)
     bias6 = attention_bias("repeat-inc", jnp.asarray(fmask), 6)

@@ -19,8 +19,9 @@ def _cfg(regime, name, tmp_path, epochs=2, mesh=None, **train_kw):
     return Config(
         model=ModelConfig(hidden_dim=32, num_heads=4, num_layers=1,
                           ff_dim=64),
+        # one length bucket -> one compiled shape per phase (fast suite)
         data=DataConfig(synthetic_num_videos=10, synthetic_min_len=20,
-                        synthetic_max_len=40, batch_size=4,
+                        synthetic_max_len=30, batch_size=4,
                         bucket_multiple=16, max_seq_len=64),
         mesh=mesh or MeshConfig(),
         train=TrainConfig(regime=regime, lr=1e-3, epochs=epochs, patience=50,
