@@ -115,3 +115,16 @@ def test_adam_matches_torch_semantics():
     # agreement is to f32 rounding
     np.testing.assert_allclose(np.asarray(state.params["w"]),
                                tw.detach().numpy(), atol=1e-5)
+
+
+def test_dp_sharding_matches_single_device(tmp_path):
+    """Data-parallel execution must reproduce single-device numerics (the
+    batch math is identical; XLA's all-reduce only changes summation
+    order)."""
+    r_single = train(_cfg("a1", "eq_single", tmp_path, epochs=2))
+    r_dp = train(_cfg("a1", "eq_dp", tmp_path, epochs=2,
+                      mesh=MeshConfig(data=2, model=1)))
+    np.testing.assert_allclose(r_dp.train_losses, r_single.train_losses,
+                               rtol=2e-4)
+    np.testing.assert_allclose(r_dp.val_losses, r_single.val_losses,
+                               rtol=2e-4)
