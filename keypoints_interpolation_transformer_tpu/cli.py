@@ -107,6 +107,13 @@ def main(argv=None):
     _add_common(p_infer)
     p_infer.add_argument("--checkpoint", type=str, required=True)
 
+    p_mat = sub.add_parser("materialize", help="precompute corrupted "
+                           "tensors to HDF5 (reference "
+                           "generate_intermediate_validation.py)")
+    _add_common(p_mat)
+    p_mat.add_argument("--output", type=str, required=True)
+    p_mat.add_argument("--random_missing", action="store_true")
+
     p_serve = sub.add_parser("serve", help="HTTP inpainting endpoint")
     _add_common(p_serve)
     p_serve.add_argument("--checkpoint", type=str, required=True)
@@ -140,6 +147,23 @@ def main(argv=None):
     if a.cmd == "eval-model":
         from .eval.inference import inference_main
         return inference_main(a)
+
+    if a.cmd == "materialize":
+        from .data.intermediate import generate_intermediate
+        from .data.pipeline import KeypointDataset
+        if a.synthetic:
+            from .data.synthetic import synthetic_dataset
+            ds = KeypointDataset(videos=synthetic_dataset(a.synthetic),
+                                 dataset_name="all",
+                                 max_seq_len=a.max_seq_len)
+        else:
+            ds = KeypointDataset(path=a.training_set_path or
+                                 a.validation_set_path,
+                                 max_seq_len=a.max_seq_len)
+        generate_intermediate(ds, a.output, seed=a.seed,
+                              is_random_missing=a.random_missing)
+        print(a.output)
+        return 0
 
     if a.cmd == "serve":
         from .eval.serving import Inpainter, serve

@@ -67,6 +67,8 @@ class KeypointCompleter(nn.Module):
     # frame masks (src_bias/tgt_bias ignored; mask kinds come from
     # src_mask_kind/tgt_mask_kind)
     attention_impl: str = "xla"
+    scan_layers: bool = False   # lax.scan over layers (fast compile)
+    remat: bool = False         # per-layer rematerialization
 
     @nn.compact
     def __call__(
@@ -162,7 +164,8 @@ class KeypointCompleter(nn.Module):
 
         decoded = TransformerCore(
             self.hidden_dim, self.num_heads, self.num_layers, self.ff_dim,
-            self.dtype, name="transformer")(
+            self.dtype, scan_layers=self.scan_layers, remat=self.remat,
+            name="transformer")(
                 src, tgt, enc_bias, dec_bias, cross_bias,
                 src_fused, tgt_fused, cross_fused)
 

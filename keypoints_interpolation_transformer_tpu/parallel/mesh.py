@@ -61,13 +61,14 @@ def _param_pspec(path: tuple, leaf) -> P:
     names = [getattr(k, "key", str(k)) for k in path]
     name = "/".join(names)
     is_kernel = names[-1] == "kernel"
-    is_bias = names[-1] == "bias"
+    ndim = getattr(leaf, "ndim", len(getattr(leaf, "shape", ())))
+    lead = (None,) * max(ndim - (2 if is_kernel else 1), 0)
 
-    def col():  # shard output features
-        return P(None, "model") if is_kernel else P("model")
+    def col():  # shard output features (rank-general: scan adds a lead axis)
+        return P(*lead, None, "model") if is_kernel else P(*lead, "model")
 
     def row():  # shard input features; bias replicated
-        return P("model", None) if is_kernel else P()
+        return P(*lead, "model", None) if is_kernel else P()
 
     if any(a in name for a in ("q_proj", "k_proj", "v_proj")):
         return col()

@@ -90,6 +90,43 @@ def completer_params_from_torch(sd: Mapping[str, Any],
     }
 
 
+def stack_layer_params(params: Mapping) -> Dict[str, Any]:
+    """Convert an unrolled parameter tree (transformer/encoder_{i}/...) to
+    the scan_layers layout (transformer/encoder_scan/layer/... with a
+    stacked leading axis).  Numerics are identical."""
+    core = params["transformer"]
+    n = 1 + max(int(k.split("_")[1]) for k in core
+                if k.startswith("encoder_") and k.split("_")[1].isdigit())
+
+    def stack(side):
+        trees = [core[f"{side}_{i}"] for i in range(n)]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+
+    new_core = {k: v for k, v in core.items()
+                if not (k.startswith("encoder_") or k.startswith("decoder_"))
+                or not k.split("_")[1].isdigit()}
+    new_core["encoder_scan"] = {"layer": stack("encoder")}
+    new_core["decoder_scan"] = {"layer": stack("decoder")}
+    out = dict(params)
+    out["transformer"] = new_core
+    return out
+
+
+def unstack_layer_params(params: Mapping) -> Dict[str, Any]:
+    """Inverse of stack_layer_params."""
+    core = params["transformer"]
+    new_core = {k: v for k, v in core.items()
+                if k not in ("encoder_scan", "decoder_scan")}
+    for side in ("encoder", "decoder"):
+        stacked = core[f"{side}_scan"]["layer"]
+        n = jax.tree.leaves(stacked)[0].shape[0]
+        for i in range(n):
+            new_core[f"{side}_{i}"] = jax.tree.map(lambda x: x[i], stacked)
+    out = dict(params)
+    out["transformer"] = new_core
+    return out
+
+
 def embedding_params_from_torch(sd: Mapping[str, Any]) -> Dict[str, Any]:
     """Map the reference Embedding autoencoder (model.py:324-340)."""
     return {"input_embedding": _linear(sd, "input_embedding"),

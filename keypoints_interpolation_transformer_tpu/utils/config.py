@@ -27,6 +27,12 @@ class ModelConfig:
     matmul_precision: str = "highest"
     compute_dtype: str = "float32"
     attention_impl: str = "xla"    # "xla" | "pallas" (fused TPU kernel)
+    # lax.scan over layers (stacked params; identical numerics).  NOTE:
+    # prefer the unrolled default when tensor-parallel sharding is on —
+    # GSPMD-partitioning a scanned loop compiles far slower than the
+    # unrolled stack at these sizes.
+    scan_layers: bool = False
+    remat: bool = False            # per-layer rematerialization
 
 
 @dataclasses.dataclass

@@ -187,3 +187,43 @@ def test_embedding_matches_torch(rng):
     model = Embedding(hidden_dim=D, input_size=K * 2)
     got = model.apply({"params": params}, jnp.asarray(x)[None])
     np.testing.assert_allclose(np.asarray(got)[0], want, atol=1e-5)
+
+
+def test_scan_layers_equivalence(rng):
+    """scan_layers=True (stacked params, lax.scan) must reproduce the
+    unrolled stack exactly; stack/unstack converters round-trip."""
+    import jax
+    from keypoints_interpolation_transformer_tpu.train.checkpoint import (
+        stack_layer_params, unstack_layer_params)
+
+    kw = dict(hidden_dim=D, num_layers=LAYERS, num_heads=HEADS, ff_dim=FF,
+              input_size=K * 2)
+    m_plain = KeypointCompleter(**kw)
+    m_scan = KeypointCompleter(**kw, scan_layers=True)
+    x, filled, fmask = _random_inputs(rng)
+    bias = attention_bias("repeat-inc", jnp.asarray(fmask), T)
+
+    p = m_plain.init(jax.random.key(0), jnp.asarray(x)[None],
+                     jnp.asarray(filled)[None])["params"]
+    ps = stack_layer_params(p)
+    out_plain = m_plain.apply({"params": p}, jnp.asarray(x)[None],
+                              jnp.asarray(filled)[None],
+                              src_frame_mask=jnp.asarray(fmask)[None],
+                              src_bias=bias, tgt_bias=bias)
+    out_scan = m_scan.apply({"params": ps}, jnp.asarray(x)[None],
+                            jnp.asarray(filled)[None],
+                            src_frame_mask=jnp.asarray(fmask)[None],
+                            src_bias=bias, tgt_bias=bias)
+    np.testing.assert_allclose(np.asarray(out_scan), np.asarray(out_plain),
+                               atol=2e-6)
+    back = unstack_layer_params(ps)
+    for a, b in zip(jax.tree.leaves(p), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # remat variant: gradients flow and stay finite
+    m_remat = KeypointCompleter(**kw, scan_layers=True, remat=True)
+    g = jax.grad(lambda pp: float(0) + jnp.sum(m_remat.apply(
+        {"params": pp}, jnp.asarray(x)[None], jnp.asarray(filled)[None],
+        src_frame_mask=jnp.asarray(fmask)[None],
+        src_bias=bias, tgt_bias=bias) ** 2))(ps)
+    assert all(bool(jnp.all(jnp.isfinite(l))) for l in jax.tree.leaves(g))
