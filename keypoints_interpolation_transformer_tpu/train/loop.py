@@ -188,6 +188,28 @@ def train(cfg: Config, train_ds: Optional[KeypointDataset] = None,
 
     state = TrainState.create(params)
 
+    epoch_start = 0
+    resume_min_loss = None
+    if cfg.train.resume_from:
+        import orbax.checkpoint as ocp
+        # template restores the optimizer state's NamedTuple structure
+        template = {"params": jax.tree.map(np.asarray, state.params),
+                    "opt_state": jax.tree.map(np.asarray, state.opt_state),
+                    "step": np.zeros((), np.int32),
+                    "epoch": np.zeros((), np.int64),
+                    "min_loss": np.zeros(()),
+                    "rng_key": np.asarray(jax.random.key_data(key))}
+        with ocp.StandardCheckpointer() as c:
+            full = c.restore(os.path.abspath(cfg.train.resume_from),
+                             template)
+        state = TrainState(
+            params=jax.tree.map(jnp.asarray, full["params"]),
+            opt_state=jax.tree.map(jnp.asarray, full["opt_state"]),
+            step=jnp.asarray(full["step"]))
+        epoch_start = int(full["epoch"]) + 1
+        resume_min_loss = float(full["min_loss"])
+        key = jax.random.wrap_key_data(jnp.asarray(full["rng_key"]))
+
     # -- mesh ---------------------------------------------------------------
     mesh = None
     if cfg.mesh.data * cfg.mesh.model > 1:
@@ -219,6 +241,8 @@ def train(cfg: Config, train_ds: Optional[KeypointDataset] = None,
     ckpt_dir = os.path.join(cfg.train.checkpoint_dir, logger.run_name)
 
     min_loss, best_epoch, patience = float("inf"), -1, 0
+    if resume_min_loss is not None:
+        min_loss = resume_min_loss
     cubic_acc: Optional[List[float]] = None
     train_curve: List[float] = []
     val_curve: List[float] = []
@@ -226,7 +250,7 @@ def train(cfg: Config, train_ds: Optional[KeypointDataset] = None,
     ckpt_path = None
     precision = cfg.model.matmul_precision
 
-    for epoch in range(cfg.train.epochs):
+    for epoch in range(epoch_start, cfg.train.epochs):
         lr = float(lrs[epoch])
         key, k_epoch = jax.random.split(key)
 
@@ -323,6 +347,20 @@ def train(cfg: Config, train_ds: Optional[KeypointDataset] = None,
                 host_params = jax.tree.map(np.asarray, state.params)
                 with ocp.StandardCheckpointer() as c:
                     c.save(ckpt_path, host_params, force=True)
+                # full train state for exact resume — the reference's
+                # resume drops epoch/LR position (noted broken at
+                # A1_train.py:268); ours restores everything
+                full = {"params": host_params,
+                        "opt_state": jax.tree.map(np.asarray,
+                                                  state.opt_state),
+                        "step": np.asarray(state.step),
+                        "epoch": np.asarray(epoch),
+                        "min_loss": np.asarray(min_loss),
+                        "rng_key": np.asarray(
+                            jax.random.key_data(key))}
+                with ocp.StandardCheckpointer() as c:
+                    c.save(os.path.join(os.path.dirname(ckpt_path),
+                                        "full_state"), full, force=True)
 
         logger.log(epoch, train_loss=train_loss, val_loss=val_loss,
                    minimun_loss=min_loss, lr=lr, epoch=epoch)
@@ -331,6 +369,9 @@ def train(cfg: Config, train_ds: Optional[KeypointDataset] = None,
                   f"val={val_loss:.6f} best={min_loss:.6f}")
 
         if cfg.train.early_stop and patience >= cfg.train.patience:
+            break
+        if cfg.train.max_epochs_this_run is not None and \
+                epoch - epoch_start + 1 >= cfg.train.max_epochs_this_run:
             break
 
     logger.close()

@@ -78,6 +78,13 @@ class TrainConfig:
     freeze_grafted: bool = True
     # a3 schedule: lr /10 at this epoch (A3_train_embedding.py:261-263)
     a3_lr_drop_epoch: int = 80
+    # path to a saved full_state dir: restores params, optimizer, epoch
+    # counter, LR-schedule position and RNG key (the reference's resume
+    # loses the last three — A1_train.py:268)
+    resume_from: Optional[str] = None
+    # time-box: stop after this many epochs THIS RUN without shortening the
+    # LR schedule (which always spans `epochs`); resume later
+    max_epochs_this_run: Optional[int] = None
     log_every: int = 1
     save_checkpoints: bool = True
     # on new best: violin histogram + validation strips (reference

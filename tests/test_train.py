@@ -128,3 +128,19 @@ def test_dp_sharding_matches_single_device(tmp_path):
                                rtol=2e-4)
     np.testing.assert_allclose(r_dp.val_losses, r_single.val_losses,
                                rtol=2e-4)
+
+
+def test_resume_matches_uninterrupted(tmp_path):
+    """Interrupt after 2 of 4 epochs, resume: the resumed trajectory must
+    equal the uninterrupted run exactly (optimizer state, epoch counter,
+    LR-schedule position and RNG key all restored — the reference's resume
+    drops these, A1_train.py:268)."""
+    import os
+
+    r_full = train(_cfg("a1", "r_full", tmp_path, epochs=3))
+    r_part = train(_cfg("a1", "r_part", tmp_path, epochs=3,
+                        max_epochs_this_run=1))
+    fs = os.path.join(os.path.dirname(r_part.checkpoint_path), "full_state")
+    r_res = train(_cfg("a1", "r_res", tmp_path, epochs=3, resume_from=fs))
+    np.testing.assert_allclose(r_res.val_losses, r_full.val_losses[1:],
+                               rtol=1e-5)
