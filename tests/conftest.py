@@ -24,6 +24,12 @@ import pytest  # noqa: E402
 # device to CPU explicitly so tests are deterministic f32.
 jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
+# reuse compiled executables across suite runs
+from keypoints_interpolation_transformer_tpu.utils.compilation_cache import (  # noqa: E402
+    enable_compilation_cache)
+
+enable_compilation_cache()
+
 
 @pytest.fixture
 def cpu_devices():
