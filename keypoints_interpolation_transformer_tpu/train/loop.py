@@ -214,10 +214,18 @@ def train(cfg: Config, train_ds: Optional[KeypointDataset] = None,
     mesh = None
     if cfg.mesh.data * cfg.mesh.model > 1:
         mesh = make_mesh(cfg.mesh.data, cfg.mesh.model)
-        state = state.replace(
-            params=shard_params(state.params, mesh),
-            opt_state=jax.tree.map(
-                lambda x: x, state.opt_state))  # placed with params by jit
+        # the Adam moments mirror the param tree, so they take the same
+        # tensor-parallel placement; a resumed optimizer state is sharded,
+        # not re-initialized
+        sharded = shard_params(state.params, mesh)
+        if epoch_start > 0:
+            os_ = state.opt_state
+            os_ = os_._replace(mu=shard_params(os_.mu, mesh),
+                               nu=shard_params(os_.nu, mesh))
+            state = TrainState(params=sharded, opt_state=os_,
+                               step=state.step)
+        else:
+            state = TrainState.create(sharded).replace(step=state.step)
         if first_params is not None:
             first_params = shard_params(first_params, mesh)
 
