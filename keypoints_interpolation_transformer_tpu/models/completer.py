@@ -69,6 +69,11 @@ class KeypointCompleter(nn.Module):
     attention_impl: str = "xla"
     scan_layers: bool = False   # lax.scan over layers (fast compile)
     remat: bool = False         # per-layer rematerialization
+    # sequence parallelism: constrain the token axis of the embedding
+    # streams to the mesh's "model" axis; GSPMD shards the pointwise /
+    # feed-forward work over tokens and inserts the gathers attention
+    # needs.  Requires running under a ("data", "model") mesh.
+    sequence_parallel: bool = False
 
     @nn.compact
     def __call__(
@@ -119,6 +124,15 @@ class KeypointCompleter(nn.Module):
                      name="swiglu_input_prev")(input_pos)
         tgt = SwiGLU(self.hidden_dim, self.dtype,
                      name="swiglu_filled_prev")(filled_pos)
+
+        if self.sequence_parallel:
+            from jax.sharding import PartitionSpec as _P
+            from jax.lax import with_sharding_constraint as _wsc
+            spec = _P("data", "model", None)
+            try:
+                src, tgt = _wsc(src, spec), _wsc(tgt, spec)
+            except RuntimeError:
+                pass  # no mesh in context (e.g. params init) -> no-op
 
         # ---- attention biases -------------------------------------------
         enc_bias = dec_bias = cross_bias = None

@@ -20,6 +20,7 @@ the jitted step, optional ("data", "model") mesh sharding.
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import os
 from typing import List, Optional
@@ -271,7 +272,8 @@ def train(cfg: Config, train_ds: Optional[KeypointDataset] = None,
                              seed=cfg.train.seed + epoch),
             transform=lambda b: (b.clean, b.length, b.weight),
             device=device)
-        with jax.default_matmul_precision(precision):
+        mesh_ctx = mesh if mesh is not None else contextlib.nullcontext()
+        with jax.default_matmul_precision(precision), mesh_ctx:
             for clean, length, weight in stream:
                 k_epoch, k_step = jax.random.split(k_epoch)
                 if regime == "a2":
@@ -294,7 +296,8 @@ def train(cfg: Config, train_ds: Optional[KeypointDataset] = None,
         val_pv: List[float] = []
         base_pv: List[float] = []
         cubic_pv: List[float] = []
-        with jax.default_matmul_precision(precision):
+        mesh_ctx = mesh if mesh is not None else contextlib.nullcontext()
+        with jax.default_matmul_precision(precision), mesh_ctx:
             for batch in val_ds.batches(cfg.data.batch_size, shuffle=False,
                                         corrupted=corrupted_val):
                 args = [jnp.asarray(batch.inputs), jnp.asarray(batch.mask),

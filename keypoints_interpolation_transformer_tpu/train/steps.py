@@ -43,17 +43,19 @@ def build_model(model_cfg, variant: Optional[str] = None):
     impl = getattr(model_cfg, "attention_impl", "xla")
     scan = getattr(model_cfg, "scan_layers", False)
     remat = getattr(model_cfg, "remat", False)
+    sp = getattr(model_cfg, "sequence_parallel", False)
     if v == "plain":
         return KeypointCompleter(
             hidden_dim=model_cfg.hidden_dim, num_layers=model_cfg.num_layers,
             num_heads=model_cfg.num_heads, input_size=model_cfg.input_size,
             ff_dim=model_cfg.ff_dim, dtype=dtype, attention_impl=impl,
-            scan_layers=scan, remat=remat)
+            scan_layers=scan, remat=remat, sequence_parallel=sp)
     if v == "cycle":
         return keypoint_completer_cycle(
             model_cfg.hidden_dim, model_cfg.num_layers, model_cfg.num_heads,
             input_size=model_cfg.input_size, ff_dim=model_cfg.ff_dim,
-            dtype=dtype, attention_impl=impl, scan_layers=scan, remat=remat)
+            dtype=dtype, attention_impl=impl, scan_layers=scan, remat=remat,
+            sequence_parallel=sp)
     if v == "embedding":
         return Embedding(hidden_dim=model_cfg.hidden_dim,
                          input_size=model_cfg.input_size, dtype=dtype)

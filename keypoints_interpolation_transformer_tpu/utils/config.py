@@ -33,6 +33,9 @@ class ModelConfig:
     # unrolled stack at these sizes.
     scan_layers: bool = False
     remat: bool = False            # per-layer rematerialization
+    # shard the token axis over the mesh "model" axis between attention
+    # blocks (GSPMD inserts the gathers); needs mesh.model > 1
+    sequence_parallel: bool = False
 
 
 @dataclasses.dataclass

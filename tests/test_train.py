@@ -144,3 +144,36 @@ def test_resume_matches_uninterrupted(tmp_path):
     r_res = train(_cfg("a1", "r_res", tmp_path, epochs=3, resume_from=fs))
     np.testing.assert_allclose(r_res.val_losses, r_full.val_losses[1:],
                                rtol=1e-5)
+
+
+def test_sequence_parallel_forward_matches(cpu_devices, rng):
+    """sequence_parallel=True on a ("data","model") mesh must reproduce the
+    unsharded forward; GSPMD inserts the token-axis collectives."""
+    import jax.numpy as jnp
+    from keypoints_interpolation_transformer_tpu.models.completer import (
+        KeypointCompleter)
+    from keypoints_interpolation_transformer_tpu.ops.masks import (
+        attention_bias)
+    from keypoints_interpolation_transformer_tpu.parallel.mesh import (
+        make_mesh, shard_params)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    kw = dict(hidden_dim=32, num_layers=1, num_heads=4, ff_dim=64)
+    m_ref = KeypointCompleter(**kw)
+    m_sp = KeypointCompleter(**kw, sequence_parallel=True)
+    B, T = 4, 16
+    x = jnp.asarray(rng.uniform(size=(B, T, 54, 2)).astype(np.float32))
+    msk = jnp.asarray((rng.random((B, T)) < 0.4).astype(np.float32))
+    bias = attention_bias("repeat-inc", msk, T)
+    p = m_ref.init(jax.random.key(0), x, x)["params"]
+    want = m_ref.apply({"params": p}, x, x, src_frame_mask=msk,
+                       src_bias=bias, tgt_bias=bias)
+
+    mesh = make_mesh(2, 4, devices=cpu_devices)
+    with mesh:
+        ps = shard_params(p, mesh)
+        xb = jax.device_put(x, NamedSharding(mesh, P("data")))
+        got = jax.jit(lambda p, x: m_sp.apply(
+            {"params": p}, x, x, src_frame_mask=msk,
+            src_bias=bias, tgt_bias=bias))(ps, xb)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-6)
