@@ -335,3 +335,58 @@ def test_add_sos_eos_and_chunks(rng):
 
     chunks = create_chunks([np.zeros((45, 54, 2)), np.zeros((7, 54, 2))])
     assert [len(c) for c in chunks] == [20, 20, 20, 7]
+
+
+def test_dataset_corruption_distribution_matches_reference_logic(rng):
+    """The per-dataset block mode must match a numpy re-simulation of the
+    reference's sampling logic (dataloader.py:364-436) distributionally:
+    mean masked-frame count and mean block count within 10%."""
+    import math
+
+    T = 80
+    stats = DatasetMissingStats(
+        mean_consecutive_missing=4.0, std_consecutive_missing=2.0,
+        mean_number_missing_blocks=3.0, std_number_missing_blocks=1.5,
+        samples=200)
+
+    def ref_sim(r):
+        bl = [np.percentile(r.normal(stats.mean_consecutive_missing,
+                                     stats.std_consecutive_missing,
+                                     stats.samples), p) for p in (25, 75)]
+        bs = [np.percentile(r.normal(stats.mean_number_missing_blocks,
+                                     stats.std_number_missing_blocks,
+                                     stats.samples), p) for p in (25, 75)]
+        nb_min = max(math.floor(bl[0]), 1)
+        nb_max = max(math.ceil(bl[1]), nb_min)
+        bs_min = max(math.floor(bs[0]), 1)
+        bs_max = max(math.ceil(bs[1]), bs_min)
+        nb = int(r.integers(nb_min, nb_max + 1))
+        section = max(1, T // nb)
+        rest = T % nb
+        if section < bs_max + 4:
+            section = max(bs_max + 4, 1)
+            nb = max(1, T // section)
+            rest = T % nb
+        mask = np.zeros(T)
+        for i in range(nb):
+            nc = min(int(r.integers(bs_min, bs_max + 1)), section)
+            rr = rest if i == nb - 1 else 0
+            off = int(r.integers(0, rr + section - nc + 1))
+            s = section * i + off
+            e = min(s + nc, T - 1)
+            mask[s:e] = 1
+        return mask.sum(), nb
+
+    trials = 300
+    r = np.random.default_rng(7)
+    ref = np.array([ref_sim(r) for _ in range(trials)])
+
+    v = jnp.zeros((T, 54, 2))
+    ours = []
+    for i in range(trials):
+        _, m = missing_blocks_dataset(jax.random.key(i), v, stats)
+        ours.append(float(np.asarray(m).sum()))
+    ours = np.array(ours)
+
+    assert abs(ours.mean() - ref[:, 0].mean()) / ref[:, 0].mean() < 0.1, (
+        ours.mean(), ref[:, 0].mean())
