@@ -88,3 +88,77 @@ def test_bf16_compute_mode(rng):
     out = model.apply(params, x, x)
     assert out.dtype == jnp.bfloat16
     assert bool(jnp.all(jnp.isfinite(out.astype(jnp.float32))))
+
+
+def test_http_serving_endpoint(rng):
+    """Drive the HTTP surface itself: valid request, malformed payloads."""
+    import json
+    import threading
+    import urllib.request
+    import urllib.error
+    from http.server import HTTPServer
+
+    from keypoints_interpolation_transformer_tpu.eval import serving
+
+    mc, params = _tiny_model_and_params()
+    inp = serving.Inpainter({"params": params}, mc, bucket_multiple=16,
+                            max_seq_len=32)
+
+    # spin the stdlib server on an ephemeral port in a thread,
+    # monkeypatching serve_forever to capture the instance for shutdown
+    srv_holder = {}
+
+    def run():
+        import keypoints_interpolation_transformer_tpu.eval.serving as sv
+        orig = HTTPServer.serve_forever
+
+        def fake_serve(self):
+            srv_holder["srv"] = self
+            orig(self)
+
+        HTTPServer.serve_forever = fake_serve
+        try:
+            sv.serve(inp, host="127.0.0.1", port=0)
+        except Exception:
+            pass
+        finally:
+            HTTPServer.serve_forever = orig
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    for _ in range(100):
+        if "srv" in srv_holder:
+            break
+        import time
+        time.sleep(0.05)
+    port = srv_holder["srv"].server_address[1]
+    base = f"http://127.0.0.1:{port}"
+
+    try:
+        ok = json.loads(urllib.request.urlopen(
+            f"{base}/healthz", timeout=30).read())
+        assert ok == {"ok": True}
+
+        v = rng.uniform(0.2, 0.8, (8, 54, 2)).astype(np.float32)
+        m = [0, 1, 1, 0, 0, 0, 1, 0]
+        req = json.dumps({"videos": [v.tolist()], "masks": [m]}).encode()
+        r = urllib.request.urlopen(urllib.request.Request(
+            f"{base}/inpaint", req,
+            {"Content-Type": "application/json"}), timeout=300)
+        out = np.asarray(json.loads(r.read())["videos"][0], np.float32)
+        mm = np.array(m)
+        np.testing.assert_allclose(out[mm == 0], v[mm == 0], atol=1e-6)
+        assert not np.allclose(out[mm == 1], v[mm == 1])
+
+        # malformed: wrong keypoint shape -> 400 naming the shape
+        bad = json.dumps({"videos": [[[0.1, 0.2]] * 4],
+                          "masks": [[0] * 4]}).encode()
+        try:
+            urllib.request.urlopen(urllib.request.Request(
+                f"{base}/inpaint", bad,
+                {"Content-Type": "application/json"}), timeout=30)
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv_holder["srv"].shutdown()
