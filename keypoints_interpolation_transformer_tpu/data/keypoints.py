@@ -196,6 +196,16 @@ def edges_index() -> np.ndarray:
     return np.stack([e[:, 0], e[:, 1]])
 
 
+def write_edges_csv(path: str) -> None:
+    """Materialize the skeleton edges in the reference's points_54.csv
+    schema (1-indexed 'origin'/'tarjet' columns, utils.py:103-113)."""
+    e = skeleton_edges()
+    lines = ["origin,tarjet"]
+    lines += [f"{a + 1},{b + 1}" for a, b in e]
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
 def write_catalog_csv(path: str) -> None:
     """Materialize the catalog in the external-CSV schema the reference
     expects (columns: Selected 54, mp_indexInArray, Key, Section), so

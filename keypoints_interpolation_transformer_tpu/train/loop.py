@@ -372,6 +372,7 @@ def train(cfg: Config, train_ds: Optional[KeypointDataset] = None,
                 with ocp.StandardCheckpointer() as c:
                     c.save(os.path.join(os.path.dirname(ckpt_path),
                                         "full_state"), full, force=True)
+                logger.log_artifact(ckpt_path)
 
         logger.log(epoch, train_loss=train_loss, val_loss=val_loss,
                    minimun_loss=min_loss, lr=lr, epoch=epoch)

@@ -37,6 +37,21 @@ class MetricsLogger:
         if self._wandb is not None:
             self._wandb.log(metrics, step=step)
 
+    def log_artifact(self, path: str, name: Optional[str] = None):
+        """Model-artifact upload on new best (reference A1_train.py:323-326);
+        a JSONL pointer always, a wandb Artifact when available."""
+        self._f.write(json.dumps({"artifact": path,
+                                  "time": time.time()}) + "\n")
+        self._f.flush()
+        if self._wandb is not None:
+            art = self._wandb.Artifact(
+                name=name or f"model_{self.run_name}", type="model")
+            if os.path.isdir(path):
+                art.add_dir(path)
+            else:
+                art.add_file(path)
+            self._wandb.log_artifact(art)
+
     def close(self):
         self._f.close()
         if self._wandb is not None:

@@ -117,3 +117,32 @@ def test_bucketing():
     assert bucket_length(5, 32, 512) == 32
     assert bucket_length(33, 32, 512) == 64
     assert bucket_length(600, 32, 512) == 512
+
+
+def test_edges_csv_round_trip(tmp_path):
+    """points_54.csv writer: the reference's get_edges_index recipe
+    (1-indexed origin/tarjet, utils.py:103-113) recovers our table."""
+    import pandas as pd
+    from keypoints_interpolation_transformer_tpu.data.keypoints import (
+        edges_index, write_edges_csv)
+
+    p = str(tmp_path / "points_54.csv")
+    write_edges_csv(p)
+    df = pd.read_csv(p)
+    ori = np.array(df.origin - 1)
+    tar = np.array(df.tarjet - 1)
+    np.testing.assert_array_equal(np.array([ori, tar]), edges_index())
+
+
+def test_metrics_logger_artifact(tmp_path):
+    import json
+    from keypoints_interpolation_transformer_tpu.utils.metrics import (
+        MetricsLogger)
+
+    lg = MetricsLogger(log_dir=str(tmp_path), run_name="t")
+    lg.log(0, loss=1.0)
+    lg.log_artifact("/some/ckpt")
+    lg.close()
+    recs = [json.loads(l) for l in open(lg.path)]
+    assert recs[0]["loss"] == 1.0
+    assert recs[1]["artifact"] == "/some/ckpt"
