@@ -38,11 +38,40 @@ def synthetic_video(rng: np.random.Generator, t: int) -> np.ndarray:
     return (base[None] + wiggle).astype(np.float32)
 
 
+def gesture_vocabulary(rng: np.random.Generator, vocab: int = 8,
+                       proto_len: int = 256) -> np.ndarray:
+    """(vocab, proto_len, 54, 2) prototype gesture trajectories.
+
+    Shared stereotyped motion is what makes a sequence model beat blind
+    interpolation: with long missing gaps, a cubic spline can only guess
+    smoothly, while a model that has seen the vocabulary can reconstruct
+    the actual gesture.
+    """
+    return np.stack([synthetic_video(rng, proto_len) for _ in range(vocab)])
+
+
 def synthetic_dataset(num_videos: int, min_len: int = 24, max_len: int = 96,
-                      seed: int = 42) -> List[np.ndarray]:
+                      seed: int = 42, motion: str = "smooth",
+                      vocab: int = 8, noise: float = 0.004
+                      ) -> List[np.ndarray]:
+    """motion="smooth": independent low-frequency clips.
+    motion="gestures": every clip is a random window of one of ``vocab``
+    shared prototype trajectories plus small noise."""
     rng = np.random.default_rng(seed)
     lens = rng.integers(min_len, max_len + 1, size=num_videos)
-    return [synthetic_video(rng, int(t)) for t in lens]
+    if motion == "smooth":
+        return [synthetic_video(rng, int(t)) for t in lens]
+    if motion != "gestures":
+        raise ValueError(f"unknown motion kind {motion!r}")
+    protos = gesture_vocabulary(rng, vocab, proto_len=max(256, max_len + 1))
+    out = []
+    for t in lens:
+        g = int(rng.integers(vocab))
+        start = int(rng.integers(0, protos.shape[1] - int(t) + 1))
+        clip = protos[g, start:start + int(t)].copy()
+        clip += rng.normal(0, noise, clip.shape).astype(np.float32)
+        out.append(clip.astype(np.float32))
+    return out
 
 
 def write_synthetic_split(path: str, num_videos: int, **kw) -> None:

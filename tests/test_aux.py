@@ -146,3 +146,21 @@ def test_metrics_logger_artifact(tmp_path):
     recs = [json.loads(l) for l in open(lg.path)]
     assert recs[0]["loss"] == 1.0
     assert recs[1]["artifact"] == "/some/ckpt"
+
+
+def test_gesture_synthetic_mode():
+    from keypoints_interpolation_transformer_tpu.data.synthetic import (
+        synthetic_dataset)
+
+    vids = synthetic_dataset(6, 20, 30, seed=1, motion="gestures", vocab=1,
+                             noise=0.0)
+    # vocab=1, no noise: every clip is a window of the SAME trajectory, so
+    # any two clips share their overlap exactly when aligned
+    assert all(v.shape[1:] == (54, 2) for v in vids)
+    # deterministic per seed
+    vids2 = synthetic_dataset(6, 20, 30, seed=1, motion="gestures", vocab=1,
+                              noise=0.0)
+    for a, b in zip(vids, vids2):
+        np.testing.assert_array_equal(a, b)
+    with pytest.raises(ValueError, match="motion"):
+        synthetic_dataset(2, 10, 12, motion="nope")
