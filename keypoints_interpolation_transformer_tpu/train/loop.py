@@ -152,6 +152,11 @@ def train(cfg: Config, train_ds: Optional[KeypointDataset] = None,
     if train_ds is None or val_ds is None:
         train_ds, val_ds = _build_datasets(cfg)
 
+    if len(train_ds) == 0 or len(val_ds) == 0:
+        raise ValueError(
+            f"empty dataset (train={len(train_ds)}, val={len(val_ds)}) — "
+            "check paths / filters (videos under 10 frames are dropped)")
+
     stats = None
     if not cfg.data.is_random_missing and cfg.data.dataset_name != "all":
         stats = missing_stats(cfg.data.dataset_name)

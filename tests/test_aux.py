@@ -164,3 +164,50 @@ def test_gesture_synthetic_mode():
         np.testing.assert_array_equal(a, b)
     with pytest.raises(ValueError, match="motion"):
         synthetic_dataset(2, 10, 12, motion="nope")
+
+
+def test_prepare_dataset_from_raw_schema(tmp_path, rng):
+    """Full ETL: external per-video-group HDF5 (raw (T, 2, K) layout) +
+    no-missing CSV -> 80/20 reference-schema splits
+    (1_prepare_dataset.py:76-135)."""
+    import h5py
+    import pandas as pd
+    from keypoints_interpolation_transformer_tpu.data.prepare import (
+        prepare_dataset)
+
+    raw = str(tmp_path / "raw.hdf5")
+    names = [f"vid_{i}" for i in range(10)]
+    with h5py.File(raw, "w") as f:
+        for i, n in enumerate(names):
+            g = f.create_group(str(i))
+            g.create_dataset("video_name", data=n)
+            g.create_dataset(
+                "data", data=rng.uniform(
+                    size=(12 + i, 2, 54)).astype(np.float32))
+
+    csv = str(tmp_path / "ok.csv")
+    pd.DataFrame({"Video Name": names[:8]}).to_csv(csv, index=False)
+
+    tr, va = prepare_dataset(raw, str(tmp_path), "SYNTH", csv_path=csv)
+    vids_tr, _, names_tr = read_split(tr)
+    vids_va, _, names_va = read_split(va)
+    assert len(vids_tr) == 6 and len(vids_va) == 2   # 80/20 of the 8 listed
+    assert set(names_tr) | set(names_va) <= set(names[:8])
+    for v in vids_tr + vids_va:
+        assert v.shape[1:] == (54, 2)
+
+
+def test_train_rejects_empty_dataset(tmp_path):
+    from keypoints_interpolation_transformer_tpu.data.pipeline import (
+        KeypointDataset)
+    from keypoints_interpolation_transformer_tpu.train.loop import train
+    from keypoints_interpolation_transformer_tpu.utils.config import (
+        Config, ModelConfig, TrainConfig)
+
+    empty = KeypointDataset(videos=[], dataset_name="all")
+    cfg = Config(model=ModelConfig(hidden_dim=32, num_heads=4, num_layers=1,
+                                   ff_dim=64),
+                 train=TrainConfig(regime="a1", epochs=1,
+                                   checkpoint_dir=str(tmp_path)))
+    with pytest.raises(ValueError, match="empty dataset"):
+        train(cfg, train_ds=empty, val_ds=empty)
