@@ -167,7 +167,10 @@ class KeypointDataset:
         stats = None
         name = self.dataset_name
         if not is_random_missing and name != "all":
-            stats = missing_stats(name, registry_path)
+            try:
+                stats = missing_stats(name, registry_path)
+            except KeyError:
+                stats = None  # generic 'all' block mode (see train/loop.py)
         corrupt = jax.jit(
             lambda k, v, t: put_missing_frames(
                 k, v, is_random_missing=is_random_missing,

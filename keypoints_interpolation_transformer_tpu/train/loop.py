@@ -159,7 +159,14 @@ def train(cfg: Config, train_ds: Optional[KeypointDataset] = None,
 
     stats = None
     if not cfg.data.is_random_missing and cfg.data.dataset_name != "all":
-        stats = missing_stats(cfg.data.dataset_name)
+        try:
+            stats = missing_stats(cfg.data.dataset_name)
+        except KeyError:
+            # unknown dataset: the reference would KeyError here too
+            # (dataloader.py:366); fall back to the generic block mode
+            print(f"dataset {cfg.data.dataset_name!r} has no missingness "
+                  "stats in the registry; using the generic 'all' "
+                  "block-corruption mode")
 
     key = jax.random.key(cfg.train.seed)
     key, k_init = jax.random.split(key)

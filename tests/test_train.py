@@ -177,3 +177,12 @@ def test_sequence_parallel_forward_matches(cpu_devices, rng):
             {"params": p}, x, x, src_frame_mask=msk,
             src_bias=bias, tgt_bias=bias))(ps, xb)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-6)
+
+
+def test_unknown_dataset_falls_back_to_generic_corruption(tmp_path):
+    """Training from files whose dataset name has no registry stats must
+    fall back to the generic 'all' block mode instead of crashing."""
+    cfg = _cfg("a1", "t_unknown", tmp_path, epochs=1)
+    cfg.data.dataset_name = "NOT_IN_REGISTRY"
+    res = train(cfg)
+    assert np.isfinite(res.best_val_loss)
