@@ -65,8 +65,11 @@ class KeypointCompleter(nn.Module):
     # "xla": additive-bias einsum attention (src_bias/tgt_bias are used);
     # "pallas": fused TPU kernel building the bias in-kernel from the 1-D
     # frame masks (src_bias/tgt_bias ignored; mask kinds come from
-    # src_mask_kind/tgt_mask_kind)
+    # src_mask_kind/tgt_mask_kind); "auto": pallas for long sequences
+    # (T >= 1024, where eliding the HBM logits wins — see RESULTS.md),
+    # xla otherwise
     attention_impl: str = "xla"
+    auto_pallas_min_len: int = 1024
     scan_layers: bool = False   # lax.scan over layers (fast compile)
     remat: bool = False         # per-layer rematerialization
     # sequence parallelism: constrain the token axis of the embedding
@@ -135,9 +138,12 @@ class KeypointCompleter(nn.Module):
                 pass  # no mesh in context (e.g. params init) -> no-op
 
         # ---- attention biases -------------------------------------------
+        impl = self.attention_impl
+        if impl == "auto":
+            impl = "pallas" if T >= self.auto_pallas_min_len else "xla"
         enc_bias = dec_bias = cross_bias = None
         src_fused = tgt_fused = cross_fused = None
-        if self.attention_impl == "pallas":
+        if impl == "pallas":
             zeros = jnp.zeros((B, T), self.dtype)
             src_fused = {
                 "mask": src_frame_mask if src_frame_mask is not None

@@ -115,8 +115,11 @@ def _weighted_mean(per_video, weight):
 def completer_forward(model, params, x, x_no, x_mask, y_mask, valid,
                       mask_kind: str = "repeat-inc"):
     T = x.shape[1]
+    impl = model.attention_impl
+    if impl == "auto":
+        impl = "pallas" if T >= model.auto_pallas_min_len else "xla"
     src_bias = tgt_bias = None
-    if model.attention_impl != "pallas":  # pallas builds biases in-kernel
+    if impl != "pallas":  # pallas builds biases in-kernel
         src_bias = attention_bias(mask_kind, x_mask, T)
         tgt_bias = attention_bias(mask_kind, y_mask, T)
     return model.apply({"params": params}, x, x_no,
