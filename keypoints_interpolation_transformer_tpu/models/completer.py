@@ -34,6 +34,17 @@ from .layers import (SwiGLU, TransformerCore, sinusoidal_positional_encoding,
                      token_norm)
 
 
+def resolve_attention_impl(impl: str, T: int, min_len: int) -> str:
+    """"auto" picks the pallas kernel for long sequences on TPU (where
+    eliding the HBM logits wins — RESULTS.md) and xla otherwise; pallas
+    kernels only compile for the TPU backend."""
+    if impl != "auto":
+        return impl
+    if T >= min_len and jax.default_backend() == "tpu":
+        return "pallas"
+    return "xla"
+
+
 def _expand_bias(bias, batch):
     """Normalize a (T, T) / (B, T, T) additive bias to (B, 1, T, T)."""
     if bias is None:
@@ -138,9 +149,8 @@ class KeypointCompleter(nn.Module):
                 pass  # no mesh in context (e.g. params init) -> no-op
 
         # ---- attention biases -------------------------------------------
-        impl = self.attention_impl
-        if impl == "auto":
-            impl = "pallas" if T >= self.auto_pallas_min_len else "xla"
+        impl = resolve_attention_impl(self.attention_impl, T,
+                                      self.auto_pallas_min_len)
         enc_bias = dec_bias = cross_bias = None
         src_fused = tgt_fused = cross_fused = None
         if impl == "pallas":

@@ -114,10 +114,11 @@ def _weighted_mean(per_video, weight):
 
 def completer_forward(model, params, x, x_no, x_mask, y_mask, valid,
                       mask_kind: str = "repeat-inc"):
+    from ..models.completer import resolve_attention_impl
+
     T = x.shape[1]
-    impl = model.attention_impl
-    if impl == "auto":
-        impl = "pallas" if T >= model.auto_pallas_min_len else "xla"
+    impl = resolve_attention_impl(model.attention_impl, T,
+                                  model.auto_pallas_min_len)
     src_bias = tgt_bias = None
     if impl != "pallas":  # pallas builds biases in-kernel
         src_bias = attention_bias(mask_kind, x_mask, T)

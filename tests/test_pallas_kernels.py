@@ -100,3 +100,34 @@ def test_fused_euclidean_loss(rng):
         g1 = jax.grad(f1)(p)
     g2 = jax.grad(f2)(p)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-6)
+
+
+def test_auto_impl_resolution():
+    """"auto" picks pallas only for long sequences AND the TPU backend
+    (pallas kernels cannot lower for CPU)."""
+    from keypoints_interpolation_transformer_tpu.models.completer import (
+        resolve_attention_impl)
+    import unittest.mock as mock
+
+    with mock.patch.object(jax, "default_backend", return_value="tpu"):
+        assert resolve_attention_impl("auto", 2048, 1024) == "pallas"
+        assert resolve_attention_impl("auto", 512, 1024) == "xla"
+        assert resolve_attention_impl("xla", 4096, 1024) == "xla"
+        assert resolve_attention_impl("pallas", 8, 1024) == "pallas"
+    with mock.patch.object(jax, "default_backend", return_value="cpu"):
+        assert resolve_attention_impl("auto", 2048, 1024) == "xla"
+
+    # end-to-end: auto resolving to pallas runs (interpret mode stands in
+    # for the TPU backend in this CPU-pinned session)
+    m = KeypointCompleter(hidden_dim=32, num_layers=1, num_heads=4,
+                          ff_dim=64, attention_impl="auto",
+                          auto_pallas_min_len=64)
+    x = jnp.zeros((1, 128, 54, 2))
+    msk = jnp.zeros((1, 128))
+    # (this session's default backend IS "tpu" via the plugin, so auto
+    # already resolves to pallas; interpret mode executes it on CPU —
+    # init runs the forward too, so it needs the context as well)
+    with pltpu.force_tpu_interpret_mode():
+        p = m.init(jax.random.key(0), x, x)
+        out = m.apply(p, x, x, src_frame_mask=msk, tgt_frame_mask=msk)
+    assert out.shape == (1, 128, 54, 2)
