@@ -22,3 +22,34 @@ Layering (bottom-up):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps bare `import` fast on 1-core hosts)."""
+    if name in ("KeypointCompleter", "Embedding",
+                "keypoint_completer_cycle"):
+        from .models import completer
+        return getattr(completer, name)
+    if name in ("Config", "ModelConfig", "DataConfig", "TrainConfig",
+                "MeshConfig"):
+        from .utils import config
+        return getattr(config, name)
+    if name == "train":
+        from .train.loop import train
+        return train
+    if name == "Inpainter":
+        from .eval.serving import Inpainter
+        return Inpainter
+    if name == "cubic_interpolation":
+        from .ops.cubic_spline import cubic_interpolation
+        return cubic_interpolation
+    if name == "quaternion_interpolation":
+        from .ops.slerp import quaternion_interpolation
+        return quaternion_interpolation
+    raise AttributeError(name)
+
+
+__all__ = ["KeypointCompleter", "Embedding", "keypoint_completer_cycle",
+           "Config", "ModelConfig", "DataConfig", "TrainConfig",
+           "MeshConfig", "train", "Inpainter", "cubic_interpolation",
+           "quaternion_interpolation"]
