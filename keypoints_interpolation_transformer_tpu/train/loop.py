@@ -47,6 +47,42 @@ from .steps import (build_model, make_eval_step, make_predict_fn,
 _REGIME_VARIANT = {"a1": "plain", "a2": "cycle", "a3": "embedding",
                    "a4": "plain"}
 
+_ASYNC_CKPTR = None
+
+
+def _get_async_checkpointer():
+    """Process-wide async orbax checkpointer (background serialization)."""
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        import orbax.checkpoint as ocp
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def _write_checkpoint(ckpt_path, snapshot):
+    """Materialize a device-side best snapshot to disk: the `best` params
+    dir plus the `full_state` dir for exact resume.  Host fetch + orbax
+    serialization run here (async handler), not on every improving epoch.
+
+    Stored as host numpy so checkpoints restore under any backend."""
+    import orbax.checkpoint as ocp
+
+    params_dev, opt_dev, step, epoch, min_loss, key = snapshot
+    host_params = jax.tree.map(np.asarray, params_dev)
+    ckptr = _get_async_checkpointer()
+    ckptr.wait_until_finished()
+    ckptr.save(ckpt_path, args=ocp.args.StandardSave(host_params),
+               force=True)
+    full = {"params": host_params,
+            "opt_state": jax.tree.map(np.asarray, opt_dev),
+            "step": np.asarray(step),
+            "epoch": np.asarray(epoch),
+            "min_loss": np.asarray(min_loss),
+            "rng_key": np.asarray(jax.random.key_data(key))}
+    ckptr.wait_until_finished()
+    ckptr.save(os.path.join(os.path.dirname(ckpt_path), "full_state"),
+               args=ocp.args.StandardSave(full), force=True)
+
 
 @dataclasses.dataclass
 class TrainResult:
@@ -257,11 +293,24 @@ def train(cfg: Config, train_ds: Optional[KeypointDataset] = None,
     corrupted_val = val_ds.precompute_corruption(
         seed=cfg.train.seed, is_random_missing=cfg.data.is_random_missing)
 
+    # device-resident data: upload padded buckets once; epoch batches are
+    # device-side gathers (huge win when host->device bandwidth is slow)
+    data_bytes = sum(v.nbytes for v in train_ds.videos) + \
+        sum(v.nbytes for v in val_ds.videos)
+    use_dev_data = (cfg.data.device_resident_data and mesh is None
+                    and data_bytes < 2 << 30)
+    train_buckets = val_buckets = None
+    if use_dev_data:
+        train_buckets = train_ds.device_buckets()
+        val_buckets = val_ds.device_buckets(corrupted=corrupted_val)
+
     logger = MetricsLogger(run_name=cfg.train.experiment_name,
                            use_wandb=use_wandb)
     ckpt_dir = os.path.join(cfg.train.checkpoint_dir, logger.run_name)
 
     min_loss, best_epoch, patience = float("inf"), -1, 0
+    saves_since_full = 10 ** 9  # force a disk write on the first best
+    best_snapshot = None
     if resume_min_loss is not None:
         min_loss = resume_min_loss
     cubic_acc: Optional[List[float]] = None
@@ -278,12 +327,19 @@ def train(cfg: Config, train_ds: Optional[KeypointDataset] = None,
         # ---- train ----
         per_video_losses: List[np.ndarray] = []
         weights: List[np.ndarray] = []
-        device = NamedSharding(mesh, P("data")) if mesh is not None else None
-        stream = prefetch_to_device(
-            train_ds.batches(cfg.data.batch_size, shuffle=True,
-                             seed=cfg.train.seed + epoch),
-            transform=lambda b: (b.clean, b.length, b.weight),
-            device=device)
+        if use_dev_data:
+            stream = ((p["clean"], p["length"], jnp.asarray(w))
+                      for _, p, w in train_ds.device_batches(
+                          train_buckets, cfg.data.batch_size, shuffle=True,
+                          seed=cfg.train.seed + epoch))
+        else:
+            device = NamedSharding(mesh, P("data")) \
+                if mesh is not None else None
+            stream = prefetch_to_device(
+                train_ds.batches(cfg.data.batch_size, shuffle=True,
+                                 seed=cfg.train.seed + epoch),
+                transform=lambda b: (b.clean, b.length, b.weight),
+                device=device)
         mesh_ctx = mesh if mesh is not None else contextlib.nullcontext()
         with jax.default_matmul_precision(precision), mesh_ctx:
             for clean, length, weight in stream:
@@ -308,20 +364,33 @@ def train(cfg: Config, train_ds: Optional[KeypointDataset] = None,
         val_pv: List[float] = []
         base_pv: List[float] = []
         cubic_pv: List[float] = []
+        if use_dev_data:
+            eval_stream = (
+                ((p["inputs"], p["mask"], p["clean"], p["length"]), w)
+                for _, p, w in val_ds.device_batches(
+                    val_buckets, cfg.data.batch_size))
+        else:
+            def _host_eval_stream():
+                for batch in val_ds.batches(cfg.data.batch_size,
+                                            shuffle=False,
+                                            corrupted=corrupted_val):
+                    args = [jnp.asarray(batch.inputs),
+                            jnp.asarray(batch.mask),
+                            jnp.asarray(batch.clean),
+                            jnp.asarray(batch.length)]
+                    if mesh is not None:
+                        args = [shard_batch(a, mesh) for a in args]
+                    yield tuple(args), batch.weight
+            eval_stream = _host_eval_stream()
         mesh_ctx = mesh if mesh is not None else contextlib.nullcontext()
         with jax.default_matmul_precision(precision), mesh_ctx:
-            for batch in val_ds.batches(cfg.data.batch_size, shuffle=False,
-                                        corrupted=corrupted_val):
-                args = [jnp.asarray(batch.inputs), jnp.asarray(batch.mask),
-                        jnp.asarray(batch.clean), jnp.asarray(batch.length)]
-                if mesh is not None:
-                    args = [shard_batch(a, mesh) for a in args]
+            for args, bweight in eval_stream:
                 if regime == "a2":
                     per_video, base = eval_step(state.params, *args,
                                                 first_params)
                 else:
                     per_video, base = eval_step(state.params, *args)
-                keep = batch.weight > 0
+                keep = bweight > 0
                 val_pv.extend(np.asarray(per_video)[keep].tolist())
                 base_pv.extend(np.asarray(base)[keep].tolist())
 
@@ -331,11 +400,12 @@ def train(cfg: Config, train_ds: Optional[KeypointDataset] = None,
                     # (A1_train.py:193-195)
                     from ..ops.cubic_spline import cubic_interpolation_batch
                     from ..ops import losses as loss_ops
-                    T = batch.clean.shape[1]
+                    T = args[2].shape[1]
                     x_no = args[0][:, 1:T + 1]
                     y_mask = args[1][:, 1:T + 1]
                     cub = cubic_interpolation_batch(x_no, y_mask)
-                    valid = jnp.asarray(batch.valid)
+                    valid = (jnp.arange(T)[None, :] <
+                             args[3][:, None]).astype(jnp.float32)
                     if regime == "a4":
                         cl = loss_ops.euclidean_distance_loss(
                             cub, args[2], frame_weight=valid)
@@ -364,26 +434,18 @@ def train(cfg: Config, train_ds: Optional[KeypointDataset] = None,
                                  precision)
             if cfg.train.save_checkpoints:
                 ckpt_path = os.path.abspath(os.path.join(ckpt_dir, "best"))
-                import orbax.checkpoint as ocp
-                # store as host numpy: checkpoints must restore under any
-                # backend (TPU <-> CPU), so no device shardings are baked in
-                host_params = jax.tree.map(np.asarray, state.params)
-                with ocp.StandardCheckpointer() as c:
-                    c.save(ckpt_path, host_params, force=True)
-                # full train state for exact resume — the reference's
-                # resume drops epoch/LR position (noted broken at
-                # A1_train.py:268); ours restores everything
-                full = {"params": host_params,
-                        "opt_state": jax.tree.map(np.asarray,
-                                                  state.opt_state),
-                        "step": np.asarray(state.step),
-                        "epoch": np.asarray(epoch),
-                        "min_loss": np.asarray(min_loss),
-                        "rng_key": np.asarray(
-                            jax.random.key_data(key))}
-                with ocp.StandardCheckpointer() as c:
-                    c.save(os.path.join(os.path.dirname(ckpt_path),
-                                        "full_state"), full, force=True)
+                # snapshot the best state ON DEVICE (a device-side copy is
+                # ~free; fetching 10s of MB to the host every improving
+                # epoch dominated steady-state epoch time on tunneled TPUs)
+                best_snapshot = (
+                    jax.tree.map(jnp.copy, state.params),
+                    jax.tree.map(jnp.copy, state.opt_state),
+                    state.step, epoch, min_loss, key)
+                saves_since_full += 1
+                if saves_since_full >= max(cfg.train.full_state_every, 1) \
+                        or epoch == 0:
+                    saves_since_full = 0
+                    _write_checkpoint(ckpt_path, best_snapshot)
                 logger.log_artifact(ckpt_path)
 
         logger.log(epoch, train_loss=train_loss, val_loss=val_loss,
@@ -398,6 +460,9 @@ def train(cfg: Config, train_ds: Optional[KeypointDataset] = None,
                 epoch - epoch_start + 1 >= cfg.train.max_epochs_this_run:
             break
 
+    if ckpt_path is not None and best_snapshot is not None:
+        _write_checkpoint(ckpt_path, best_snapshot)  # final flush
+        _get_async_checkpointer().wait_until_finished()
     logger.close()
     return TrainResult(best_val_loss=min_loss, best_epoch=best_epoch,
                        epochs_run=len(val_curve),

@@ -50,6 +50,10 @@ class DataConfig:
     have_augmentation: bool = True
     is_random_missing: bool = False
     double_hand_rotation: bool = True   # reproduce augmentation.py:134-140
+    # keep padded buckets resident in HBM and gather batches on device —
+    # host->device transfer is the epoch bottleneck on tunneled TPUs.
+    # Applies on single-device runs when the dataset fits (see loop).
+    device_resident_data: bool = True
     # synthetic data (hermetic runs / benchmarks)
     synthetic_num_videos: int = 0
     synthetic_min_len: int = 24
@@ -94,6 +98,11 @@ class TrainConfig:
     # sent_histogram / sent_validation_result, A1_train.py:304-309)
     save_plots: bool = False
     results_dir: str = "results"
+    # full_state (params+optimizer+epoch, ~3x params bytes) is written at
+    # most every N improving epochs; best params are written on every best.
+    # Saves run on a background thread (async orbax) so the device keeps
+    # training during serialization.
+    full_state_every: int = 5
     # epoch-0 cubic-spline baseline (A1_train.py:193-195)
     epoch0_cubic_baseline: bool = True
 

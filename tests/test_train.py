@@ -186,3 +186,17 @@ def test_unknown_dataset_falls_back_to_generic_corruption(tmp_path):
     cfg.data.dataset_name = "NOT_IN_REGISTRY"
     res = train(cfg)
     assert np.isfinite(res.best_val_loss)
+
+
+def test_device_resident_data_matches_host_path(tmp_path):
+    """Device-resident bucket gathers must reproduce the host streaming
+    path exactly (single bucket -> identical shuffle order)."""
+    cfg_host = _cfg("a1", "d_host", tmp_path, epochs=2,
+                    save_checkpoints=False)
+    cfg_host.data.device_resident_data = False
+    r_host = train(cfg_host)
+    cfg_dev = _cfg("a1", "d_dev", tmp_path, epochs=2, save_checkpoints=False)
+    cfg_dev.data.device_resident_data = True
+    r_dev = train(cfg_dev)
+    np.testing.assert_allclose(r_dev.val_losses, r_host.val_losses,
+                               rtol=1e-6)
