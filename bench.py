@@ -63,23 +63,23 @@ def bench_jax():
                            src_bias=bias, tgt_bias=bias)
         return composite_prediction(pred, clean, miss)
 
+    from keypoints_interpolation_transformer_tpu.utils.profiling import (
+        StepTimer)
+
     def timed(precision):
-        # NOTE: steps are chained through a data dependency and closed with
-        # a host readback of a dependent scalar — on remote-tunnel backends
-        # block_until_ready() can return at enqueue time, which would time
-        # dispatch rate instead of device execution.
+        # steps are chained through a data dependency; StepTimer closes the
+        # timed region with a host readback of a dependent scalar — on
+        # remote-tunnel backends block_until_ready() can return at enqueue
+        # time, which would time dispatch rate instead of device execution.
         with jax.default_matmul_precision(precision):
             f = jax.jit(fwd)
-            out = f(params, masked, clean, miss)
-            float(jnp.sum(out))              # compile + warm, real sync
-            t0 = time.perf_counter()
+            timer = StepTimer(warmup=1)   # step 1 = compile + warm
             x = masked
-            for _ in range(STEPS):
+            for _ in range(STEPS + 1):
                 x = f(params, x, clean, miss)
-            float(jnp.sum(x))                # forces the whole chain
-            dt = time.perf_counter() - t0
+                timer.step(x, frames=BATCH * T)
+            fps = timer.summary()["frames_per_sec"]
             out = f(params, masked, clean, miss)
-        fps = BATCH * T * STEPS / dt
         return fps, np.asarray(out)
 
     # fastest matmul precision whose masked-frame MPJPE stays within the
@@ -162,15 +162,21 @@ def main():
         import enable_compilation_cache
     enable_compilation_cache()
     fps, extra = bench_jax()
-    cpu_fps = bench_torch_reference_pattern() or FALLBACK_CPU_FPS
+    measured_cpu = bench_torch_reference_pattern()
+    cpu_fps = measured_cpu or FALLBACK_CPU_FPS
     result = {
         "metric": "interpolated keypoint-frames/sec/chip",
         "value": round(fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(fps / cpu_fps, 2),
+        # provenance: which matmul precision passed the 1e-4 MPJPE gate,
+        # its delta, and how the CPU baseline was obtained
+        **{k: (round(v, 8) if isinstance(v, float) else v)
+           for k, v in extra.items()},
+        "cpu_baseline_fps": round(cpu_fps, 2),
+        "cpu_baseline_source": "measured" if measured_cpu else "recorded",
     }
-    print(json.dumps(result))
-    # context on stderr-ish second line is NOT allowed; keep one line only.
+    print(json.dumps(result))  # ONE line only
 
 
 if __name__ == "__main__":

@@ -24,6 +24,7 @@ from .utils.config import (Config, DataConfig, MeshConfig, ModelConfig,
 
 
 def _add_common(p: argparse.ArgumentParser):
+    B = argparse.BooleanOptionalAction
     p.add_argument("--experiment_name", type=str, default=None)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--hidden_dim", type=int, default=256)
@@ -43,6 +44,23 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--precision", type=str, default="highest",
                    choices=["highest", "high", "default"])
     p.add_argument("--wandb", action="store_true")
+    # data-path behavior (reference parseMain.py / LSP_Dataset flags)
+    p.add_argument("--is_random_missing", action="store_true",
+                   help="60%%-random-frame corruption mode "
+                        "(dataloader.py:320-334)")
+    p.add_argument("--augmentation", action=B, default=True,
+                   help="training-time augmentation (dataloader.py:551-553)")
+    p.add_argument("--augmentations_prob", type=float, default=0.5)
+    p.add_argument("--double_hand_rotation", action=B, default=True,
+                   help="reproduce the reference's double hand rotation "
+                        "quirk (augmentation.py:134-140)")
+    p.add_argument("--device_resident_data", action=B, default=True)
+    # model execution knobs
+    p.add_argument("--attention_impl", type=str, default="xla",
+                   choices=["xla", "pallas", "auto"])
+    p.add_argument("--scan_layers", action="store_true")
+    p.add_argument("--remat", action="store_true")
+    p.add_argument("--sequence_parallel", action="store_true")
 
 
 def _cfg_from_args(a, regime: str) -> Config:
@@ -54,12 +72,20 @@ def _cfg_from_args(a, regime: str) -> Config:
     return Config(
         model=ModelConfig(hidden_dim=a.hidden_dim, num_heads=a.num_heads,
                           num_layers=a.num_layers,
-                          matmul_precision=a.precision),
+                          matmul_precision=a.precision,
+                          attention_impl=a.attention_impl,
+                          scan_layers=a.scan_layers, remat=a.remat,
+                          sequence_parallel=a.sequence_parallel),
         data=DataConfig(dataset_name=name,
                         training_set_path=a.training_set_path,
                         validation_set_path=a.validation_set_path,
                         batch_size=a.batch_size, max_seq_len=a.max_seq_len,
-                        synthetic_num_videos=a.synthetic, seed=a.seed),
+                        synthetic_num_videos=a.synthetic, seed=a.seed,
+                        is_random_missing=a.is_random_missing,
+                        have_augmentation=a.augmentation,
+                        augmentations_prob=a.augmentations_prob,
+                        double_hand_rotation=a.double_hand_rotation,
+                        device_resident_data=a.device_resident_data),
         mesh=MeshConfig(data=a.mesh_data, model=a.mesh_model),
         train=TrainConfig(regime=regime, lr=a.lr, epochs=a.epochs,
                           patience=a.patience, seed=a.seed,
@@ -68,22 +94,50 @@ def _cfg_from_args(a, regime: str) -> Config:
                           upload_general_model=getattr(
                               a, "upload_general_model", None),
                           upload_embedding_model=getattr(
-                              a, "upload_embedding_model", None)),
+                              a, "upload_embedding_model", None),
+                          early_stop=getattr(a, "early_stop", None),
+                          resume_from=getattr(a, "resume_from", None),
+                          max_epochs_this_run=getattr(
+                              a, "max_epochs_this_run", None),
+                          save_checkpoints=getattr(
+                              a, "save_checkpoints", True),
+                          save_plots=getattr(a, "save_plots", False),
+                          results_dir=getattr(a, "results_dir", "results"),
+                          checkpoint_dir=getattr(a, "checkpoint_dir",
+                                                 "model_checkpoint"),
+                          fused_loss=getattr(a, "fused_loss", False)),
     )
 
 
-def main(argv=None):
+def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser("keypoints_interpolation_transformer_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
 
     p_train = sub.add_parser("train", help="unified trainer (regimes a1-a4)")
     _add_common(p_train)
+    B = argparse.BooleanOptionalAction
     p_train.add_argument("--regime", choices=["a1", "a2", "a3", "a4"],
                          default="a1")
     p_train.add_argument("--upload_model", type=str, default=None,
                          help="a2: frozen first-model checkpoint")
     p_train.add_argument("--upload_general_model", type=str, default=None)
     p_train.add_argument("--upload_embedding_model", type=str, default=None)
+    p_train.add_argument("--early_stop", action=B, default=None,
+                         help="default: faithful per regime (a3 never "
+                              "breaks on patience)")
+    p_train.add_argument("--resume_from", type=str, default=None,
+                         help="full_state dir: restores params, optimizer, "
+                              "epoch counter, LR position and RNG key")
+    p_train.add_argument("--max_epochs_this_run", type=int, default=None)
+    p_train.add_argument("--save_checkpoints", action=B, default=True)
+    p_train.add_argument("--save_plots", action=B, default=False,
+                         help="violin histogram + validation strips on new "
+                              "best (A1_train.py:304-309)")
+    p_train.add_argument("--results_dir", type=str, default="results")
+    p_train.add_argument("--checkpoint_dir", type=str,
+                         default="model_checkpoint")
+    p_train.add_argument("--fused_loss", action="store_true",
+                         help="pallas fused masked-loss kernel (TPU only)")
 
     p_prep = sub.add_parser("prepare", help="dataset ETL (reference "
                             "1_prepare_dataset.py)")
@@ -119,8 +173,11 @@ def main(argv=None):
     p_serve.add_argument("--checkpoint", type=str, required=True)
     p_serve.add_argument("--host", type=str, default="127.0.0.1")
     p_serve.add_argument("--port", type=int, default=8321)
+    return parser
 
-    a = parser.parse_args(argv)
+
+def main(argv=None):
+    a = build_parser().parse_args(argv)
 
     from .utils.compilation_cache import enable_compilation_cache
     enable_compilation_cache()

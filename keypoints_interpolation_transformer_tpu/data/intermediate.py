@@ -40,11 +40,13 @@ def generate_intermediate(ds: KeypointDataset, path: str,
 
         last_shape = (54, 2)
         for i, clean in enumerate(ds.videos):
-            inputs, mask = corrupted[i]          # (t+1, K, 2), (t+1)
-            x = inputs[:-1]                      # SOS + frames[:-1]
-            x_mask = mask[:-1]
+            civ, cim = corrupted[i]              # (t, K, 2), (t) — no SOS
+            # SOS prepend + src/tgt shift (A1_train.py:93-100)
+            x = np.concatenate(
+                [np.ones((1,) + civ.shape[1:], np.float32), civ[:-1]])
+            x_mask = np.concatenate([[0.0], cim[:-1]]).astype(cim.dtype)
             y = clean
-            y_mask = mask[1:]
+            y_mask = cim
             # zero masked x frames (generate_intermediate_validation.py:64)
             x = np.where(x_mask[:, None, None] > 0, 0.0, x)
             dx[i] = x.flatten()

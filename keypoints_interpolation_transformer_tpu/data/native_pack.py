@@ -105,6 +105,34 @@ def pad_videos_native(videos: Sequence[np.ndarray], t_pad: int
     return out.reshape((n, t_pad) + tuple(shape_tail)), lens
 
 
+def pad_with_sos_native(videos: Sequence[np.ndarray], t_pad: int,
+                        sos_value: float = 1.0
+                        ) -> Tuple[np.ndarray, np.ndarray]:
+    """(B, t_pad + 1, *tail) batch with a constant SOS frame prepended to
+    each video (reference add_sos, dataloader.py:482-493), plus (B,)
+    clamped lengths (SOS excluded).  Backs the precorrupted-batch assembly
+    in data/pipeline.py at memcpy speed; numpy fallback otherwise."""
+    shape_tail = videos[0].shape[1:]
+    frame_size = int(np.prod(shape_tail))
+    n = len(videos)
+    lib = _lib()
+    if lib is None:
+        out = np.zeros((n, t_pad + 1) + tuple(shape_tail), np.float32)
+        lens = np.zeros(n, np.int32)
+        out[:, 0] = sos_value
+        for i, v in enumerate(videos):
+            t = min(len(v), t_pad)
+            out[i, 1:t + 1] = v[:t]
+            lens[i] = t
+        return out, lens
+    flat, offsets, lengths = _concat(videos)
+    out = np.empty((n, t_pad + 1, frame_size), np.float32)
+    lens = np.empty(n, np.int32)
+    lib.kitpack_pad_with_sos(flat, offsets, lengths, n, t_pad, frame_size,
+                             np.float32(sos_value), out, lens)
+    return out.reshape((n, t_pad + 1) + tuple(shape_tail)), lens
+
+
 def valid_mask_native(lengths: np.ndarray, t_pad: int) -> np.ndarray:
     lengths = np.ascontiguousarray(lengths, np.int32)
     lib = _lib()

@@ -23,11 +23,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..transforms.corruption import add_sos, put_missing_frames
+from ..transforms.corruption import put_missing_frames
 from ..transforms.filters import filter_videos
 from ..transforms.normalize import normalize_pose_batch
 from ..utils.registry import dataset_name_from_path, missing_stats
-from .keypoints import NUM_COORDS, NUM_KEYPOINTS
 
 
 def bucket_length(t: int, multiple: int, max_len: int) -> int:
@@ -43,6 +42,19 @@ def pad_videos(videos: Sequence[np.ndarray], t_pad: int):
     from .native_pack import pad_videos_native
 
     return pad_videos_native(videos, t_pad)
+
+
+def _assemble_corrupted(corrupted, ids, t_pad):
+    """Precorrupted rows -> padded (B, t_pad+1, K, 2) inputs + (B, t_pad+1)
+    masks with the SOS frame prepended natively (kitpack_pad_with_sos; the
+    reference's add_sos, dataloader.py:482-493, runs per video in Python)."""
+    from .native_pack import pad_with_sos_native
+
+    ins, _ = pad_with_sos_native([corrupted[i][0] for i in ids], t_pad,
+                                 sos_value=1.0)
+    msk, _ = pad_with_sos_native([corrupted[i][1] for i in ids], t_pad,
+                                 sos_value=0.0)
+    return ins, msk
 
 
 @dataclasses.dataclass
@@ -140,16 +152,9 @@ class KeypointDataset:
                 [np.ones(n, np.float32), np.zeros(fill, np.float32)])
             batch = Batch(clean=clean, length=lens, weight=weight)
             if corrupted is not None:
-                ins = np.zeros((batch_size, t_pad + 1, NUM_KEYPOINTS,
-                                NUM_COORDS), np.float32)
-                msk = np.zeros((batch_size, t_pad + 1), np.float32)
                 src = idxs + [idxs[0]] * fill
-                for row, i in enumerate(src):
-                    civ, cim = corrupted[i]
-                    t = min(len(civ), t_pad + 1)
-                    ins[row, :t] = civ[:t]
-                    msk[row, :t] = cim[:t]
-                batch.inputs, batch.mask = ins, msk
+                batch.inputs, batch.mask = _assemble_corrupted(
+                    corrupted, src, t_pad)
             yield batch
 
     def num_batches(self, batch_size: int) -> int:
@@ -182,14 +187,7 @@ class KeypointDataset:
                 "ids": idxs,
             }
             if corrupted is not None:
-                ins = np.zeros((len(idxs), t_pad + 1, NUM_KEYPOINTS,
-                                NUM_COORDS), np.float32)
-                msk = np.zeros((len(idxs), t_pad + 1), np.float32)
-                for row, i in enumerate(idxs):
-                    civ, cim = corrupted[i]
-                    t = min(len(civ), t_pad + 1)
-                    ins[row, :t] = civ[:t]
-                    msk[row, :t] = cim[:t]
+                ins, msk = _assemble_corrupted(corrupted, idxs, t_pad)
                 entry["inputs"] = jax.device_put(ins, sharding)
                 entry["mask"] = jax.device_put(msk, sharding)
             out[t_pad] = entry
@@ -224,7 +222,10 @@ class KeypointDataset:
                               registry_path: Optional[str] = None
                               ) -> Dict[int, tuple]:
         """Reference create_validation_data (dataloader.py:604-621): corrupt
-        every video once; serve the same corruption every epoch."""
+        every video once; serve the same corruption every epoch.
+
+        Stored WITHOUT the SOS frame — batch assembly prepends it natively
+        (_assemble_corrupted)."""
         stats = None
         name = self.dataset_name
         if not is_random_missing and name != "all":
@@ -251,9 +252,8 @@ class KeypointDataset:
             key = keys[0]
             vv, mm = jax.vmap(corrupt)(keys[1:], jnp.asarray(padded),
                                        jnp.asarray(lens))
-            vv, mm = add_sos(vv, mm)
             vv, mm = np.asarray(vv), np.asarray(mm)
             for row, i in enumerate(idxs):
-                t = lens[row] + 1
+                t = lens[row]
                 out[i] = (vv[row, :t], mm[row, :t])
         return out

@@ -9,7 +9,7 @@ One loop replaces the reference's four near-identical trainer scripts
     A3_train_embedding.py:261-263)
   * per-epoch mean of per-video losses; save-on-best with early stopping on
     ``patience`` (A1_train.py:294-347); a3's patience check never breaks
-    (A3_train_embedding.py:265-267) -> early_stop=False
+    (A3_train_embedding.py:265-267) -> a3 never early-stops by default
   * epoch-0 freeze-frame baseline per-video losses (A1_train.py:189-191);
     the cubic-spline baseline is computed via ops/cubic_spline when enabled
   * best checkpoints carry the reference's hyperparameter dict schema
@@ -327,6 +327,8 @@ def train(cfg: Config, train_ds: Optional[KeypointDataset] = None,
         # ---- train ----
         per_video_losses: List[np.ndarray] = []
         weights: List[np.ndarray] = []
+        grad_norms: List = []   # wandb.watch analog (A1_train.py:251)
+        param_norm = None
         if use_dev_data:
             stream = ((p["clean"], p["length"], jnp.asarray(w))
                       for _, p, w in train_ds.device_batches(
@@ -355,6 +357,9 @@ def train(cfg: Config, train_ds: Optional[KeypointDataset] = None,
                 # async dispatch (no per-step host sync)
                 per_video_losses.append(m["per_video"])
                 weights.append(weight)
+                if "grad_norm" in m:
+                    grad_norms.append(m["grad_norm"])
+                    param_norm = m["param_norm"]
 
         pv = np.concatenate([np.asarray(x) for x in per_video_losses])
         w = np.concatenate([np.asarray(x) for x in weights])
@@ -448,13 +453,19 @@ def train(cfg: Config, train_ds: Optional[KeypointDataset] = None,
                     _write_checkpoint(ckpt_path, best_snapshot)
                 logger.log_artifact(ckpt_path)
 
+        watch = {}
+        if grad_norms:
+            watch = {"grad_norm": float(np.mean(
+                         [float(g) for g in grad_norms])),
+                     "param_norm": float(param_norm)}
         logger.log(epoch, train_loss=train_loss, val_loss=val_loss,
-                   minimun_loss=min_loss, lr=lr, epoch=epoch)
+                   minimun_loss=min_loss, lr=lr, epoch=epoch, **watch)
         if cfg.train.log_every and epoch % cfg.train.log_every == 0:
             print(f"epoch {epoch}: lr={lr:.3g} train={train_loss:.6f} "
                   f"val={val_loss:.6f} best={min_loss:.6f}")
 
-        if cfg.train.early_stop and patience >= cfg.train.patience:
+        if cfg.train.effective_early_stop() and \
+                patience >= cfg.train.patience:
             break
         if cfg.train.max_epochs_this_run is not None and \
                 epoch - epoch_start + 1 >= cfg.train.max_epochs_this_run:

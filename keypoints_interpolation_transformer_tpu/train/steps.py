@@ -108,6 +108,23 @@ def _weighted_mean(per_video, weight):
     return jnp.sum(per_video * weight) / jnp.maximum(jnp.sum(weight), 1.0)
 
 
+def make_train_criterion(regime: str, fused: bool):
+    """Per-video train criterion (pred, target, valid) -> (B,).
+
+    a1/a2 use torch.nn.MSELoss semantics (A1_train.py:254, == euclidean/2);
+    a3/a4 use EuclideanLoss (A3:180, A4:259).  ``fused`` routes through the
+    pallas fused masked-loss kernel (ops/pallas/masked_loss.py; TPU or
+    interpret mode only)."""
+    if fused:
+        from ..ops.pallas.masked_loss import fused_euclidean_loss
+        if regime in ("a1", "a2"):
+            return lambda p, y, v: 0.5 * fused_euclidean_loss(p, y, v)
+        return fused_euclidean_loss
+    if regime in ("a1", "a2"):
+        return lambda p, y, v: losses.mse_loss(p, y, frame_weight=v)
+    return lambda p, y, v: losses.euclidean_loss(p, y, frame_weight=v)
+
+
 # ---------------------------------------------------------------------------
 # regime forwards
 # ---------------------------------------------------------------------------
@@ -158,6 +175,25 @@ def make_train_step(model, cfg, stats, first_model=None,
     """
     regime = cfg.train.regime
     d = cfg.data
+    criterion = make_train_criterion(regime,
+                                     getattr(cfg.train, "fused_loss", False))
+    watch = getattr(cfg.train, "watch_norms", False)
+
+    def _global_norm(tree):
+        return jnp.sqrt(sum(jnp.sum(jnp.square(x.astype(jnp.float32)))
+                            for x in jax.tree.leaves(tree)))
+
+    def finish(state, grads, lr, loss, per_video, freeze=None):
+        """Shared optimizer step + metrics assembly.  grad/param global
+        norms are the local analog of wandb.watch(model)
+        (A1_train.py:251)."""
+        metrics = {"loss": loss, "per_video": per_video}
+        if watch:
+            metrics["grad_norm"] = _global_norm(grads)
+        state = apply_gradients(state, grads, lr, freeze)
+        if watch:
+            metrics["param_norm"] = _global_norm(state.params)
+        return state, metrics
 
     def preprocess(key, clean, length):
         return corrupt_batch(
@@ -177,30 +213,28 @@ def make_train_step(model, cfg, stats, first_model=None,
             y, x, x_no, x_mask, y_mask, valid = common(key, clean, length)
             pred = completer_forward(model, params, x, x_no, x_mask, y_mask,
                                      valid)
-            per_video = losses.mse_loss(pred, y, frame_weight=valid)
+            per_video = criterion(pred, y, valid)
             return _weighted_mean(per_video, weight), per_video
 
         def step(state, clean, length, weight, key, lr):
             (loss, per_video), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params, key, clean, length,
                                        weight)
-            state = apply_gradients(state, grads, lr)
-            return state, {"loss": loss, "per_video": per_video}
+            return finish(state, grads, lr, loss, per_video)
 
     elif regime == "a2":
         def loss_fn(params, first_params, key, clean, length, weight):
             y, x, x_no, x_mask, y_mask, valid = common(key, clean, length)
             pred = cycle_forward(first_model, first_params, model, params,
                                  x, x_no, x_mask, y_mask, valid)
-            per_video = losses.mse_loss(pred, y, frame_weight=valid)
+            per_video = criterion(pred, y, valid)
             return _weighted_mean(per_video, weight), per_video
 
         def step(state, clean, length, weight, key, lr, first_params):
             (loss, per_video), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params, first_params, key,
                                        clean, length, weight)
-            state = apply_gradients(state, grads, lr)
-            return state, {"loss": loss, "per_video": per_video}
+            return finish(state, grads, lr, loss, per_video)
 
     elif regime == "a3":
         def loss_fn(params, key, clean, length, weight):
@@ -213,15 +247,14 @@ def make_train_step(model, cfg, stats, first_model=None,
             x = jnp.where(zero_gate[:, None, None, None], zeroed, x)
             y = x
             pred = model.apply({"params": params}, x)
-            per_video = losses.euclidean_loss(pred, y, frame_weight=valid)
+            per_video = criterion(pred, y, valid)
             return _weighted_mean(per_video, weight), per_video
 
         def step(state, clean, length, weight, key, lr):
             (loss, per_video), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params, key, clean, length,
                                        weight)
-            state = apply_gradients(state, grads, lr)
-            return state, {"loss": loss, "per_video": per_video}
+            return finish(state, grads, lr, loss, per_video)
 
     elif regime == "a4":
         def loss_fn(params, key, clean, length, weight):
@@ -229,15 +262,14 @@ def make_train_step(model, cfg, stats, first_model=None,
             x = zero_missing_frames(x, x_mask)  # A4:107-108
             pred = completer_forward(model, params, x, x_no, x_mask, y_mask,
                                      valid)
-            per_video = losses.euclidean_loss(pred, y, frame_weight=valid)
+            per_video = criterion(pred, y, valid)
             return _weighted_mean(per_video, weight), per_video
 
         def step(state, clean, length, weight, key, lr):
             (loss, per_video), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params, key, clean, length,
                                        weight)
-            state = apply_gradients(state, grads, lr, freeze_mask)
-            return state, {"loss": loss, "per_video": per_video}
+            return finish(state, grads, lr, loss, per_video, freeze_mask)
 
     else:
         raise ValueError(f"unknown regime {regime!r}")

@@ -73,7 +73,10 @@ class TrainConfig:
     lr: float = 5e-6
     epochs: int = 500
     patience: int = 50
-    early_stop: bool = True        # A3's patience check never breaks
+    # None -> faithful per-regime default: a1/a2/a4 break on patience
+    # (A1_train.py:335-347); a3's patience check never breaks
+    # (A3_train_embedding.py:265-267).  Set True/False to override.
+    early_stop: Optional[bool] = None
     seed: int = 42
     checkpoint_dir: str = "model_checkpoint"
     experiment_name: Optional[str] = None
@@ -105,6 +108,18 @@ class TrainConfig:
     full_state_every: int = 5
     # epoch-0 cubic-spline baseline (A1_train.py:193-195)
     epoch0_cubic_baseline: bool = True
+    # per-epoch parameter/gradient global norms in the metrics stream —
+    # the local analog of the reference's wandb.watch(model)
+    # (A1_train.py:251)
+    watch_norms: bool = True
+    # pallas fused masked-loss kernel (ops/pallas/masked_loss.py) for the
+    # per-video criterion inside the train step; TPU backend only
+    fused_loss: bool = False
+
+    def effective_early_stop(self) -> bool:
+        if self.early_stop is None:
+            return self.regime != "a3"
+        return self.early_stop
 
 
 @dataclasses.dataclass

@@ -66,3 +66,36 @@ def test_native_is_faster(rng):
     # generous bound: this guards against regressions that make the native
     # path pathologically slow, not a micro-benchmark under test-runner load
     assert t_native < t_numpy * 2.0, (t_native, t_numpy)
+
+
+def test_pad_with_sos_matches_numpy(rng):
+    """Native SOS-prepend packer == numpy fallback == transforms.add_sos."""
+    vids = _videos(rng, n=8, tmin=10, tmax=40)
+    masks = [(rng.random(len(v)) < 0.3).astype(np.float32) for v in vids]
+    t_pad = 48
+
+    for seq, sos in ((vids, 1.0), (masks, 0.0)):
+        out, lens = native_pack.pad_with_sos_native(seq, t_pad, sos)
+        want = np.zeros((len(seq), t_pad + 1) + seq[0].shape[1:], np.float32)
+        want[:, 0] = sos
+        for i, v in enumerate(seq):
+            want[i, 1:len(v) + 1] = v
+        np.testing.assert_array_equal(out, want)
+        np.testing.assert_array_equal(lens, [len(v) for v in seq])
+
+    # agrees with the jnp reference transform on one video
+    import jax.numpy as jnp
+    from keypoints_interpolation_transformer_tpu.transforms.corruption \
+        import add_sos
+    out, _ = native_pack.pad_with_sos_native([vids[0]], len(vids[0]), 1.0)
+    ref = np.asarray(add_sos(jnp.asarray(vids[0])))
+    np.testing.assert_array_equal(out[0], ref)
+
+
+def test_pad_with_sos_truncates(rng):
+    vids = _videos(rng, n=2, tmin=30, tmax=40)
+    out, lens = native_pack.pad_with_sos_native(vids, 8, 1.0)
+    assert out.shape[1] == 9
+    np.testing.assert_array_equal(lens, [8, 8])
+    np.testing.assert_array_equal(out[0, 1:], vids[0][:8])
+    np.testing.assert_array_equal(out[0, 0], np.ones((54, 2), np.float32))

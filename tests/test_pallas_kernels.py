@@ -131,3 +131,39 @@ def test_auto_impl_resolution():
         p = m.init(jax.random.key(0), x, x)
         out = m.apply(p, x, x, src_frame_mask=msk, tgt_frame_mask=msk)
     assert out.shape == (1, 128, 54, 2)
+
+
+def test_fused_loss_train_step_matches_xla(rng, tmp_path):
+    """cfg.train.fused_loss routes the train criterion through the pallas
+    kernel; one a1 step produces the same loss and updated params."""
+    from keypoints_interpolation_transformer_tpu.train.state import TrainState
+    from keypoints_interpolation_transformer_tpu.train.steps import (
+        build_model, make_train_step)
+    from keypoints_interpolation_transformer_tpu.utils.config import (
+        Config, DataConfig, ModelConfig, TrainConfig)
+
+    clean = jnp.asarray(np.random.default_rng(0).uniform(
+        size=(4, 16, 54, 2)).astype(np.float32))
+    length = jnp.asarray([16, 12, 9, 16], jnp.int32)
+    weight = jnp.ones(4, jnp.float32)
+
+    def run(fused):
+        cfg = Config(
+            model=ModelConfig(hidden_dim=32, num_heads=4, num_layers=1,
+                              ff_dim=64),
+            data=DataConfig(),
+            train=TrainConfig(regime="a1", fused_loss=fused))
+        model = build_model(cfg.model, "plain")
+        params = model.init(jax.random.key(0), clean, clean)["params"]
+        state = TrainState.create(params)
+        step = make_train_step(model, cfg, None)
+        with pltpu.force_tpu_interpret_mode():
+            state, m = step(state, clean, length, weight,
+                            jax.random.key(7), jnp.float32(1e-3))
+        return float(m["loss"]), jax.tree.map(np.asarray, state.params)
+
+    loss_x, params_x = run(False)
+    loss_p, params_p = run(True)
+    np.testing.assert_allclose(loss_p, loss_x, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(params_p), jax.tree.leaves(params_x)):
+        np.testing.assert_allclose(a, b, atol=1e-6)
