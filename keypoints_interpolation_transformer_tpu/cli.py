@@ -39,6 +39,11 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--max_seq_len", type=int, default=512)
     p.add_argument("--synthetic", type=int, default=0,
                    help="use N synthetic videos instead of HDF5 paths")
+    p.add_argument("--synthetic_motion", type=str, default="smooth",
+                   choices=["smooth", "gestures"])
+    p.add_argument("--synthetic_vocab", type=int, default=8)
+    p.add_argument("--synthetic_min_len", type=int, default=24)
+    p.add_argument("--synthetic_max_len", type=int, default=96)
     p.add_argument("--mesh_data", type=int, default=1)
     p.add_argument("--mesh_model", type=int, default=1)
     p.add_argument("--precision", type=str, default="highest",
@@ -56,7 +61,7 @@ def _add_common(p: argparse.ArgumentParser):
                         "quirk (augmentation.py:134-140)")
     p.add_argument("--device_resident_data", action=B, default=True)
     # model execution knobs
-    p.add_argument("--attention_impl", type=str, default="xla",
+    p.add_argument("--attention_impl", type=str, default="auto",
                    choices=["xla", "pallas", "auto"])
     p.add_argument("--scan_layers", action="store_true")
     p.add_argument("--remat", action="store_true")
@@ -81,6 +86,10 @@ def _cfg_from_args(a, regime: str) -> Config:
                         validation_set_path=a.validation_set_path,
                         batch_size=a.batch_size, max_seq_len=a.max_seq_len,
                         synthetic_num_videos=a.synthetic, seed=a.seed,
+                        synthetic_motion=a.synthetic_motion,
+                        synthetic_vocab=a.synthetic_vocab,
+                        synthetic_min_len=a.synthetic_min_len,
+                        synthetic_max_len=a.synthetic_max_len,
                         is_random_missing=a.is_random_missing,
                         have_augmentation=a.augmentation,
                         augmentations_prob=a.augmentations_prob,

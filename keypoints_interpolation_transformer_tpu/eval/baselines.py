@@ -31,11 +31,12 @@ from ..ops.slerp import quaternion_interpolation_batch
 
 def evaluate_baselines(val_ds: KeypointDataset, batch_size: int = 8,
                        seed: int = 42, is_random_missing: bool = False,
-                       which=("freeze", "cubic", "quaternion")
-                       ) -> Dict[str, List[float]]:
+                       which=("freeze", "cubic", "quaternion"),
+                       registry_path=None) -> Dict[str, List[float]]:
     """Per-video loss lists for the selected baselines."""
     corrupted = val_ds.precompute_corruption(
-        seed=seed, is_random_missing=is_random_missing)
+        seed=seed, is_random_missing=is_random_missing,
+        registry_path=registry_path)
 
     out: Dict[str, List[float]] = {k: [] for k in which}
 

@@ -25,9 +25,11 @@ from ..utils.config import ModelConfig
 
 def evaluate_checkpoint(params, model_cfg: ModelConfig,
                         val_ds: KeypointDataset, batch_size: int = 8,
-                        seed: int = 42, warmup: bool = True):
+                        seed: int = 42, warmup: bool = True,
+                        registry_path=None):
     model = build_model(model_cfg, "plain")
-    corrupted = val_ds.precompute_corruption(seed=seed)
+    corrupted = val_ds.precompute_corruption(seed=seed,
+                                             registry_path=registry_path)
 
     @jax.jit
     def infer(params, inputs, mask, clean, length):
@@ -70,6 +72,7 @@ def evaluate_checkpoint(params, model_cfg: ModelConfig,
         "num_videos": len(pv_all),
         "num_frames": frames,
         "wall_sec": dt,
+        "per_video": pv_all,
     }
 
 

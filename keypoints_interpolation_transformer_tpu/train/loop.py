@@ -99,7 +99,10 @@ def _build_datasets(cfg: Config):
     d = cfg.data
     if d.synthetic_num_videos > 0:
         vids = synthetic_dataset(d.synthetic_num_videos, d.synthetic_min_len,
-                                 d.synthetic_max_len, seed=d.seed)
+                                 d.synthetic_max_len, seed=d.seed,
+                                 motion=getattr(d, "synthetic_motion",
+                                                "smooth"),
+                                 vocab=getattr(d, "synthetic_vocab", 8))
         n_train = max(1, int(0.8 * len(vids)))
         train = KeypointDataset(videos=vids[:n_train],
                                 dataset_name=d.dataset_name,
@@ -196,7 +199,8 @@ def train(cfg: Config, train_ds: Optional[KeypointDataset] = None,
     stats = None
     if not cfg.data.is_random_missing and cfg.data.dataset_name != "all":
         try:
-            stats = missing_stats(cfg.data.dataset_name)
+            stats = missing_stats(cfg.data.dataset_name,
+                                  getattr(cfg.data, "registry_path", None))
         except KeyError:
             # unknown dataset: the reference would KeyError here too
             # (dataloader.py:366); fall back to the generic block mode
@@ -291,7 +295,8 @@ def train(cfg: Config, train_ds: Optional[KeypointDataset] = None,
         lrs = linear_decay_lrs(cfg.train.lr, cfg.train.epochs)
 
     corrupted_val = val_ds.precompute_corruption(
-        seed=cfg.train.seed, is_random_missing=cfg.data.is_random_missing)
+        seed=cfg.train.seed, is_random_missing=cfg.data.is_random_missing,
+        registry_path=getattr(cfg.data, "registry_path", None))
 
     # device-resident data: upload padded buckets once; epoch batches are
     # device-side gathers (huge win when host->device bandwidth is slow)

@@ -26,7 +26,9 @@ class ModelConfig:
     # "default" = bf16 MXU passes (fast path)
     matmul_precision: str = "highest"
     compute_dtype: str = "float32"
-    attention_impl: str = "xla"    # "xla" | "pallas" (fused TPU kernel)
+    # "auto" (default): fused pallas kernel on TPU (wins at every measured
+    # shape, RESULTS.md), xla elsewhere; "xla" | "pallas" force a path
+    attention_impl: str = "auto"
     # lax.scan over layers (stacked params; identical numerics).  NOTE:
     # prefer the unrolled default when tensor-parallel sharding is on —
     # GSPMD-partitioning a scanned loop compiles far slower than the
@@ -41,6 +43,8 @@ class ModelConfig:
 @dataclasses.dataclass
 class DataConfig:
     dataset_name: str = "all"
+    # optional dataset_config.json overlay (missingness stats / paths)
+    registry_path: Optional[str] = None
     training_set_path: str = ""
     validation_set_path: str = ""
     batch_size: int = 8
@@ -54,10 +58,14 @@ class DataConfig:
     # host->device transfer is the epoch bottleneck on tunneled TPUs.
     # Applies on single-device runs when the dataset fits (see loop).
     device_resident_data: bool = True
-    # synthetic data (hermetic runs / benchmarks)
+    # synthetic data (hermetic runs / benchmarks); motion "gestures" draws
+    # clips as windows of a shared prototype vocabulary — the structured
+    # regime where learned dynamics beat blind interpolation
     synthetic_num_videos: int = 0
     synthetic_min_len: int = 24
     synthetic_max_len: int = 96
+    synthetic_motion: str = "smooth"   # "smooth" | "gestures"
+    synthetic_vocab: int = 8
     seed: int = 42
 
 

@@ -26,7 +26,7 @@ def test_every_reference_flag_reaches_config():
         "--augmentations_prob", "0.25",
         "--no-double_hand_rotation",
         "--no-device_resident_data",
-        "--attention_impl", "auto",
+        "--attention_impl", "pallas",
         "--scan_layers", "--remat", "--sequence_parallel",
         "--no-early_stop",
         "--resume_from", "/tmp/somewhere",
@@ -42,7 +42,7 @@ def test_every_reference_flag_reaches_config():
     assert cfg.data.augmentations_prob == 0.25
     assert cfg.data.double_hand_rotation is False
     assert cfg.data.device_resident_data is False
-    assert cfg.model.attention_impl == "auto"
+    assert cfg.model.attention_impl == "pallas"
     assert cfg.model.scan_layers and cfg.model.remat
     assert cfg.model.sequence_parallel
     assert cfg.train.early_stop is False

@@ -31,10 +31,38 @@ def test_fused_attention_matches_xla(rng, kind, keypad):
     mask = jnp.asarray((rng.random((2, 32)) < 0.3).astype(np.float32))
     valid = jnp.asarray((np.arange(32)[None, :] <
                          np.array([[32], [20]])).astype(np.float32))
-    with pltpu.force_tpu_interpret_mode():
+    # "highest" keeps the kernel's MXU dtype at f32 (matching the f32 XLA
+    # oracle); the default-precision bf16 cast is covered separately below
+    with pltpu.force_tpu_interpret_mode(), \
+            jax.default_matmul_precision("highest"):
         got = fused_attention(q, k, v, mask, valid, kind, keypad)
     want = xla_attention(q, k, v, mask, valid, kind, keypad)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_ambient_precision_selects_mxu_dtype():
+    from keypoints_interpolation_transformer_tpu.ops.pallas.attention \
+        import _ambient_mxu_dtype
+
+    assert _ambient_mxu_dtype(jnp.bfloat16) == jnp.bfloat16
+    with jax.default_matmul_precision("highest"):
+        assert _ambient_mxu_dtype(jnp.float32) == jnp.float32
+    with jax.default_matmul_precision("high"):
+        assert _ambient_mxu_dtype(jnp.float32) == jnp.float32
+    with jax.default_matmul_precision("default"):
+        assert _ambient_mxu_dtype(jnp.float32) == jnp.bfloat16
+
+
+def test_fused_attention_default_precision_tracks_bf16(rng):
+    """Under default matmul precision the kernel casts to bf16 like XLA;
+    parity holds at bf16 tolerance."""
+    q, k, v = _qkv(rng)
+    mask = jnp.asarray((rng.random((2, 32)) < 0.3).astype(np.float32))
+    valid = jnp.ones((2, 32), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_attention(q, k, v, mask, valid, "repeat-inc", True)
+    want = xla_attention(q, k, v, mask, valid, "repeat-inc", True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-2)
 
 
 def test_fused_attention_grads_match(rng):
@@ -50,7 +78,31 @@ def test_fused_attention_grads_match(rng):
         return jnp.sum(xla_attention(q, k, v, mask, valid,
                                      "repeat-inc", True) ** 2)
 
-    with pltpu.force_tpu_interpret_mode():
+    with pltpu.force_tpu_interpret_mode(), \
+            jax.default_matmul_precision("highest"):
+        g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_fused_attention_long_seq_xla_bwd_path(rng):
+    """T above _BWD_PALLAS_MAX_T takes the XLA recompute backward."""
+    T = 640
+    q, k, v = _qkv(rng, B=1, T=T)
+    mask = jnp.asarray((rng.random((1, T)) < 0.3).astype(np.float32))
+    valid = jnp.ones((1, T), jnp.float32)
+
+    def loss_fused(q, k, v):
+        return jnp.sum(fused_attention(q, k, v, mask, valid,
+                                       "repeat-inc", True) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(xla_attention(q, k, v, mask, valid,
+                                     "repeat-inc", True) ** 2)
+
+    with pltpu.force_tpu_interpret_mode(), \
+            jax.default_matmul_precision("highest"):
         g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
     g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g1, g2):
@@ -73,7 +125,8 @@ def test_model_pallas_impl_matches_xla_impl(rng):
     bias = attention_bias("repeat-inc", m, T)
     out_x = model_x.apply(params, x, f, src_frame_mask=m, tgt_frame_mask=m,
                           src_bias=bias, tgt_bias=bias, valid_mask=valid)
-    with pltpu.force_tpu_interpret_mode():
+    with pltpu.force_tpu_interpret_mode(), \
+            jax.default_matmul_precision("highest"):
         out_p = model_p.apply(params, x, f, src_frame_mask=m,
                               tgt_frame_mask=m, valid_mask=valid)
     np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
@@ -103,33 +156,43 @@ def test_fused_euclidean_loss(rng):
 
 
 def test_auto_impl_resolution():
-    """"auto" picks pallas only for long sequences AND the TPU backend
-    (pallas kernels cannot lower for CPU)."""
-    from keypoints_interpolation_transformer_tpu.models.completer import (
-        resolve_attention_impl)
+    """"auto" picks pallas only on the TPU platform (pallas kernels cannot
+    lower for CPU); the platform comes from the PINNED default device when
+    set (the test suite pins CPU while the TPU plugin still wins the
+    default-backend election)."""
+    import keypoints_interpolation_transformer_tpu.models.completer as mc
     import unittest.mock as mock
 
-    with mock.patch.object(jax, "default_backend", return_value="tpu"):
-        assert resolve_attention_impl("auto", 2048, 1024) == "pallas"
-        assert resolve_attention_impl("auto", 512, 1024) == "xla"
-        assert resolve_attention_impl("xla", 4096, 1024) == "xla"
-        assert resolve_attention_impl("pallas", 8, 1024) == "pallas"
-    with mock.patch.object(jax, "default_backend", return_value="cpu"):
-        assert resolve_attention_impl("auto", 2048, 1024) == "xla"
+    with mock.patch.object(mc, "_attention_platform", return_value="tpu"):
+        assert mc.resolve_attention_impl("auto", 128) == "pallas"
+        assert mc.resolve_attention_impl("auto", 2048, 1024) == "pallas"
+        assert mc.resolve_attention_impl("auto", 512, 1024) == "xla"
+        assert mc.resolve_attention_impl("xla", 4096) == "xla"
+        assert mc.resolve_attention_impl("pallas", 8) == "pallas"
+    with mock.patch.object(mc, "_attention_platform", return_value="cpu"):
+        assert mc.resolve_attention_impl("auto", 2048) == "xla"
 
-    # end-to-end: auto resolving to pallas runs (interpret mode stands in
-    # for the TPU backend in this CPU-pinned session)
+    # this suite pins jax_default_device to CPU, so the default-"auto"
+    # model resolves to xla and runs WITHOUT interpret mode
+    assert mc._attention_platform() == "cpu"
     m = KeypointCompleter(hidden_dim=32, num_layers=1, num_heads=4,
-                          ff_dim=64, attention_impl="auto",
-                          auto_pallas_min_len=64)
+                          ff_dim=64)   # attention_impl defaults to "auto"
+    assert m.attention_impl == "auto"
     x = jnp.zeros((1, 128, 54, 2))
     msk = jnp.zeros((1, 128))
-    # (this session's default backend IS "tpu" via the plugin, so auto
-    # already resolves to pallas; interpret mode executes it on CPU —
-    # init runs the forward too, so it needs the context as well)
+    from keypoints_interpolation_transformer_tpu.ops.masks import (
+        attention_bias as ab)
+    bias = ab("repeat-inc", msk, 128)
+    p = m.init(jax.random.key(0), x, x, src_bias=bias, tgt_bias=bias)
+    out = m.apply(p, x, x, src_frame_mask=msk, tgt_frame_mask=msk,
+                  src_bias=bias, tgt_bias=bias)
+    assert out.shape == (1, 128, 54, 2)
+
+    # forcing pallas still runs under interpret mode
+    mp = KeypointCompleter(hidden_dim=32, num_layers=1, num_heads=4,
+                           ff_dim=64, attention_impl="pallas")
     with pltpu.force_tpu_interpret_mode():
-        p = m.init(jax.random.key(0), x, x)
-        out = m.apply(p, x, x, src_frame_mask=msk, tgt_frame_mask=msk)
+        out = mp.apply(p, x, x, src_frame_mask=msk, tgt_frame_mask=msk)
     assert out.shape == (1, 128, 54, 2)
 
 
