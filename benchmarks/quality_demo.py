@@ -57,16 +57,21 @@ def main():
         Config, DataConfig, ModelConfig, TrainConfig)
 
     os.makedirs("results", exist_ok=True)
-    # long-block corruption stats for the GESTURE dataset (registry overlay,
-    # same schema as the reference's dataset_config.json)
+    # long-block corruption stats for the GESTURE dataset (registry
+    # overlay, same schema as the reference's dataset_config.json).
+    # NOTE the reference's stat-name swap (dataloader.py:368-383,
+    # reproduced faithfully in transforms/corruption.py):
+    # `mean_consecutive_missing` drives the NUMBER of blocks and
+    # `mean_number_missing_blocks` drives the block SIZE — so "two
+    # ~14-frame gaps per clip" is written as (2, 14), not (14, 2).
     registry = "results/quality_demo_registry.json"
     with open(registry, "w") as f:
         json.dump({"GESTURE": {
-            "mean_consecutive_missing": 14.0,
-            "std_consecutive_missing": 3.0,
+            "mean_consecutive_missing": 2.0,
+            "std_consecutive_missing": 0.7,
             "samples": 400,
-            "mean_number_missing_blocks": 2.0,
-            "std_number_missing_blocks": 0.7,
+            "mean_number_missing_blocks": 14.0,
+            "std_number_missing_blocks": 3.0,
         }}, f)
 
     cfg = Config(

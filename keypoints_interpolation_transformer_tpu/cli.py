@@ -46,6 +46,12 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--synthetic_max_len", type=int, default=96)
     p.add_argument("--mesh_data", type=int, default=1)
     p.add_argument("--mesh_model", type=int, default=1)
+    # multi-host (parallel/distributed.py): every rank runs the same
+    # command with its own --process_id; coordinator is rank 0's address
+    p.add_argument("--mesh_dcn", type=int, default=1)
+    p.add_argument("--coordinator", type=str, default=None)
+    p.add_argument("--num_processes", type=int, default=1)
+    p.add_argument("--process_id", type=int, default=0)
     p.add_argument("--precision", type=str, default="highest",
                    choices=["highest", "high", "default"])
     p.add_argument("--wandb", action="store_true")
@@ -95,7 +101,10 @@ def _cfg_from_args(a, regime: str) -> Config:
                         augmentations_prob=a.augmentations_prob,
                         double_hand_rotation=a.double_hand_rotation,
                         device_resident_data=a.device_resident_data),
-        mesh=MeshConfig(data=a.mesh_data, model=a.mesh_model),
+        mesh=MeshConfig(data=a.mesh_data, model=a.mesh_model,
+                        dcn_data=a.mesh_dcn, coordinator=a.coordinator,
+                        num_processes=a.num_processes,
+                        process_id=a.process_id),
         train=TrainConfig(regime=regime, lr=a.lr, epochs=a.epochs,
                           patience=a.patience, seed=a.seed,
                           experiment_name=a.experiment_name,
@@ -192,8 +201,16 @@ def main(argv=None):
     enable_compilation_cache()
 
     if a.cmd == "train":
+        from .parallel import distributed as dist
+        if getattr(a, "num_processes", 1) > 1 and a.coordinator:
+            dist.init_distributed(a.coordinator, a.num_processes,
+                                  a.process_id)
+        else:
+            dist.init_from_env()
         from .train.loop import train
         res = train(_cfg_from_args(a, a.regime), use_wandb=a.wandb)
+        if not dist.is_coordinator():
+            return 0
         print(json.dumps({
             "best_val_loss": res.best_val_loss,
             "best_epoch": res.best_epoch,

@@ -27,6 +27,11 @@ def prefetch_to_device(iterator: Iterable, depth: int = 2,
     def put(item):
         if transform is not None:
             item = transform(item)
+        if device is not None and jax.process_count() > 1:
+            # multi-process: every rank holds the same full host batch and
+            # contributes only its addressable shards
+            from ..parallel.distributed import global_put
+            return jax.tree.map(lambda a: global_put(a, device), item)
         return jax.device_put(item, device)
 
     it = iter(iterator)

@@ -1,10 +1,11 @@
-"""Batch inference API + minimal HTTP serving.
+"""Batch inference API + HTTP serving with dynamic batching.
 
 No reference counterpart (the reference ends at evaluation scripts); this
 is the deployment surface: an ``Inpainter`` that loads any checkpoint
 (orbax dir or reference ``.pth``), pads/buckets incoming ragged sequences,
 runs the jitted composite-inpainting forward, and returns only the frames
-that were missing — plus a stdlib-only HTTP endpoint.
+that were missing — plus a threaded stdlib HTTP endpoint whose concurrent
+requests are merged into shared device dispatches (``RequestBatcher``).
 
 POST /inpaint {"videos": [[[x, y] * 54] * T, ...],
                "masks": [[0/1] * T, ...]}
@@ -119,9 +120,95 @@ class Inpainter:
         return out  # type: ignore[return-value]
 
 
-def serve(inpainter: Inpainter, host: str = "127.0.0.1", port: int = 8321):
-    """Minimal stdlib HTTP server around an Inpainter (blocking)."""
-    from http.server import BaseHTTPRequestHandler, HTTPServer
+class RequestBatcher:
+    """Cross-request dynamic batching around the single device.
+
+    The accelerator is the serialized resource: request handler threads
+    enqueue (videos, masks) jobs; ONE worker thread drains the queue —
+    after the first job arrives it keeps collecting for ``window_ms`` (or
+    until ``max_batch_videos``) so concurrent small requests ride the same
+    device dispatch.  The Inpainter's internal shape-bucketing then groups
+    the merged set, so a batch of mixed lengths still compiles to a few
+    padded buckets rather than one ragged mess.
+    """
+
+    def __init__(self, inpainter: Inpainter, max_batch_videos: int = 64,
+                 window_ms: float = 3.0):
+        import queue
+        import threading
+
+        self._inpainter = inpainter
+        self._max = max_batch_videos
+        self._window = window_ms / 1e3
+        self._q: "queue.Queue" = queue.Queue()
+        self._queue_mod = queue
+        self.stats = {"requests": 0, "videos": 0, "batches": 0,
+                      "max_batch_videos": 0}
+        self._stop = False
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, videos, masks):
+        """Enqueue a job; returns a Future of List[np.ndarray]."""
+        from concurrent.futures import Future
+        fut: Future = Future()
+        self._q.put((videos, masks, fut))
+        return fut
+
+    def close(self):
+        self._stop = True
+        self._q.put(None)
+        self._thread.join(timeout=5)
+
+    def _loop(self):
+        import time
+        while not self._stop:
+            first = self._q.get()
+            if first is None:
+                break
+            jobs = [first]
+            n = len(first[0])
+            deadline = time.monotonic() + self._window
+            while n < self._max:
+                budget = deadline - time.monotonic()
+                if budget <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=budget)
+                except self._queue_mod.Empty:
+                    break
+                if nxt is None:
+                    self._stop = True
+                    break
+                jobs.append(nxt)
+                n += len(nxt[0])
+            videos = [v for vs, _, _ in jobs for v in vs]
+            masks = [m for _, ms, _ in jobs for m in ms]
+            try:
+                res = self._inpainter.inpaint(videos, masks)
+            except Exception as e:  # surface device errors to every caller
+                for _, _, fut in jobs:
+                    fut.set_exception(e)
+                continue
+            self.stats["requests"] += len(jobs)
+            self.stats["videos"] += len(videos)
+            self.stats["batches"] += 1
+            self.stats["max_batch_videos"] = max(
+                self.stats["max_batch_videos"], len(videos))
+            off = 0
+            for vs, _, fut in jobs:
+                fut.set_result(res[off:off + len(vs)])
+                off += len(vs)
+
+
+def make_server(inpainter: Inpainter, host: str = "127.0.0.1",
+                port: int = 8321, max_batch_videos: int = 64,
+                window_ms: float = 3.0, request_timeout: float = 600.0):
+    """Threaded HTTP server with dynamic batching; returns (server,
+    batcher) — call server.serve_forever() / batcher.close()."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    batcher = RequestBatcher(inpainter, max_batch_videos, window_ms)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -138,6 +225,8 @@ def serve(inpainter: Inpainter, host: str = "127.0.0.1", port: int = 8321):
         def do_GET(self):
             if self.path == "/healthz":
                 self._send(200, {"ok": True})
+            elif self.path == "/statz":
+                self._send(200, dict(batcher.stats))
             else:
                 self._send(404, {"error": "not found"})
 
@@ -160,11 +249,21 @@ def serve(inpainter: Inpainter, host: str = "127.0.0.1", port: int = 8321):
                             f"{NUM_COORDS}), got {list(v.shape)}")
                     if len(m) != len(v):
                         raise ValueError("mask length != video length")
-                res = inpainter.inpaint(videos, masks)
+                res = batcher.submit(videos, masks).result(request_timeout)
                 self._send(200, {"videos": [r.tolist() for r in res]})
             except (KeyError, ValueError, json.JSONDecodeError) as e:
                 self._send(400, {"error": str(e)})
 
-    server = HTTPServer((host, port), Handler)
-    print(f"serving on http://{host}:{port}")
-    server.serve_forever()
+    server = ThreadingHTTPServer((host, port), Handler)
+    return server, batcher
+
+
+def serve(inpainter: Inpainter, host: str = "127.0.0.1", port: int = 8321,
+          **kw):
+    """Blocking HTTP serving around an Inpainter (threaded + batched)."""
+    server, batcher = make_server(inpainter, host, port, **kw)
+    print(f"serving on http://{host}:{server.server_address[1]}")
+    try:
+        server.serve_forever()
+    finally:
+        batcher.close()

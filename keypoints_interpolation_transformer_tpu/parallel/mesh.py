@@ -103,8 +103,10 @@ def replicated(mesh: Mesh):
 
 
 def shard_params(params, mesh: Mesh):
-    return jax.device_put(params, param_shardings(params, mesh))
+    from .distributed import global_put
+    return jax.tree.map(global_put, params, param_shardings(params, mesh))
 
 
 def shard_batch(batch, mesh: Mesh):
-    return jax.device_put(batch, batch_shardings(batch, mesh))
+    from .distributed import global_put
+    return jax.tree.map(global_put, batch, batch_shardings(batch, mesh))

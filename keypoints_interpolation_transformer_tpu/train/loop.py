@@ -34,6 +34,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..data.pipeline import KeypointDataset
 from ..data.prefetch import prefetch_to_device
 from ..data.synthetic import synthetic_dataset
+from ..parallel import distributed as dist
 from ..parallel.mesh import make_mesh, shard_batch, shard_params
 from ..utils.config import Config
 from ..utils.metrics import MetricsLogger
@@ -64,17 +65,21 @@ def _write_checkpoint(ckpt_path, snapshot):
     dir plus the `full_state` dir for exact resume.  Host fetch + orbax
     serialization run here (async handler), not on every improving epoch.
 
-    Stored as host numpy so checkpoints restore under any backend."""
+    Stored as host numpy so checkpoints restore under any backend.  In a
+    multi-process run every rank participates: the gather is a collective,
+    and orbax's save runs internal cross-process barriers (the primary
+    host does the actual writing)."""
     import orbax.checkpoint as ocp
 
     params_dev, opt_dev, step, epoch, min_loss, key = snapshot
-    host_params = jax.tree.map(np.asarray, params_dev)
+    host_params = jax.tree.map(dist.gather_to_host, params_dev)
+    host_opt = jax.tree.map(dist.gather_to_host, opt_dev)
     ckptr = _get_async_checkpointer()
     ckptr.wait_until_finished()
     ckptr.save(ckpt_path, args=ocp.args.StandardSave(host_params),
                force=True)
     full = {"params": host_params,
-            "opt_state": jax.tree.map(np.asarray, opt_dev),
+            "opt_state": host_opt,
             "step": np.asarray(step),
             "epoch": np.asarray(epoch),
             "min_loss": np.asarray(min_loss),
@@ -82,6 +87,22 @@ def _write_checkpoint(ckpt_path, snapshot):
     ckptr.wait_until_finished()
     ckptr.save(os.path.join(os.path.dirname(ckpt_path), "full_state"),
                args=ocp.args.StandardSave(full), force=True)
+
+
+class _NullLogger:
+    """Metrics sink for non-coordinator ranks (single JSONL writer)."""
+
+    def __init__(self, run_name):
+        self.run_name = run_name
+
+    def log(self, step, **metrics):
+        pass
+
+    def log_artifact(self, path, name=None):
+        pass
+
+    def close(self):
+        pass
 
 
 @dataclasses.dataclass
@@ -265,7 +286,13 @@ def train(cfg: Config, train_ds: Optional[KeypointDataset] = None,
 
     # -- mesh ---------------------------------------------------------------
     mesh = None
-    if cfg.mesh.data * cfg.mesh.model > 1:
+    if dist.is_multiprocess():
+        # data-parallel over DCN (one slow all-reduce per step), tensor-
+        # parallel inside each process where ICI bandwidth lives
+        mesh = dist.make_hybrid_mesh(
+            cfg.mesh.data if cfg.mesh.data > 1 else -1, cfg.mesh.model,
+            dcn_data=cfg.mesh.dcn_data if cfg.mesh.dcn_data > 1 else None)
+    elif cfg.mesh.data * cfg.mesh.model > 1:
         mesh = make_mesh(cfg.mesh.data, cfg.mesh.model)
         # the Adam moments mirror the param tree, so they take the same
         # tensor-parallel placement; a resumed optimizer state is sharded,
@@ -284,8 +311,11 @@ def train(cfg: Config, train_ds: Optional[KeypointDataset] = None,
 
     train_step = make_train_step(model, cfg, stats, first_model, freeze_mask)
     eval_step = make_eval_step(model, cfg, first_model)
+    # plot rendering drives the model with per-video local jits, which a
+    # multi-process run cannot do on mesh-sharded params
+    save_plots = cfg.train.save_plots and not dist.is_multiprocess()
     predict_fn = make_predict_fn(model, cfg, first_model) \
-        if cfg.train.save_plots else None
+        if save_plots else None
 
     # -- schedules ----------------------------------------------------------
     if regime == "a3":
@@ -309,8 +339,19 @@ def train(cfg: Config, train_ds: Optional[KeypointDataset] = None,
         train_buckets = train_ds.device_buckets()
         val_buckets = val_ds.device_buckets(corrupted=corrupted_val)
 
-    logger = MetricsLogger(run_name=cfg.train.experiment_name,
-                           use_wandb=use_wandb)
+    run_name = cfg.train.experiment_name
+    if run_name is None and dist.is_multiprocess():
+        # every rank must agree on the checkpoint path (orbax's save is a
+        # collective); broadcast rank 0's timestamp
+        import time as _time
+        from jax.experimental import multihost_utils
+        stamp = int(multihost_utils.broadcast_one_to_all(
+            np.int64(_time.time())))
+        run_name = f"run_{stamp}"
+    if dist.is_coordinator():
+        logger = MetricsLogger(run_name=run_name, use_wandb=use_wandb)
+    else:
+        logger = _NullLogger(run_name)
     ckpt_dir = os.path.join(cfg.train.checkpoint_dir, logger.run_name)
 
     min_loss, best_epoch, patience = float("inf"), -1, 0
@@ -366,13 +407,11 @@ def train(cfg: Config, train_ds: Optional[KeypointDataset] = None,
                     grad_norms.append(m["grad_norm"])
                     param_norm = m["param_norm"]
 
-        pv = np.concatenate([np.asarray(x) for x in per_video_losses])
-        w = np.concatenate([np.asarray(x) for x in weights])
+        pv = dist.gather_concat(per_video_losses)
+        w = dist.gather_concat(weights)
         train_loss = float((pv * w).sum() / max(w.sum(), 1.0))
 
         # ---- eval ----
-        val_pv: List[float] = []
-        base_pv: List[float] = []
         cubic_pv: List[float] = []
         if use_dev_data:
             eval_stream = (
@@ -392,6 +431,7 @@ def train(cfg: Config, train_ds: Optional[KeypointDataset] = None,
                         args = [shard_batch(a, mesh) for a in args]
                     yield tuple(args), batch.weight
             eval_stream = _host_eval_stream()
+        ev_pv, ev_base, ev_cubic, ev_keep = [], [], [], []
         mesh_ctx = mesh if mesh is not None else contextlib.nullcontext()
         with jax.default_matmul_precision(precision), mesh_ctx:
             for args, bweight in eval_stream:
@@ -400,9 +440,9 @@ def train(cfg: Config, train_ds: Optional[KeypointDataset] = None,
                                                 first_params)
                 else:
                     per_video, base = eval_step(state.params, *args)
-                keep = bweight > 0
-                val_pv.extend(np.asarray(per_video)[keep].tolist())
-                base_pv.extend(np.asarray(base)[keep].tolist())
+                ev_pv.append(per_video)
+                ev_base.append(base)
+                ev_keep.append(np.asarray(bweight) > 0)
 
                 if epoch == 0 and cfg.train.epoch0_cubic_baseline and \
                         regime != "a3":
@@ -422,7 +462,14 @@ def train(cfg: Config, train_ds: Optional[KeypointDataset] = None,
                     else:
                         cl = loss_ops.euclidean_loss(
                             cub, args[2], frame_weight=valid)
-                    cubic_pv.extend(np.asarray(cl)[keep].tolist())
+                    ev_cubic.append(cl)
+        # one gather per epoch (not per batch): on multi-process CPU each
+        # collective spins up a fresh Gloo context
+        keep = np.concatenate(ev_keep)
+        val_pv = dist.gather_concat(ev_pv)[keep].tolist()
+        base_pv = dist.gather_concat(ev_base)[keep].tolist()
+        if ev_cubic:
+            cubic_pv = dist.gather_concat(ev_cubic)[keep].tolist()
         val_loss = float(np.mean(val_pv))
         if baseline_acc is None:
             baseline_acc = base_pv  # epoch-0 freeze-frame baseline
@@ -437,7 +484,7 @@ def train(cfg: Config, train_ds: Optional[KeypointDataset] = None,
         improved = val_loss < min_loss
         if improved:
             min_loss, best_epoch, patience = val_loss, epoch, 0
-            if cfg.train.save_plots:
+            if save_plots:
                 _new_best_report(cfg, val_ds, corrupted_val, state,
                                  first_params, predict_fn, regime,
                                  baseline_acc, val_pv, cubic_acc, epoch,
@@ -447,10 +494,14 @@ def train(cfg: Config, train_ds: Optional[KeypointDataset] = None,
                 # snapshot the best state ON DEVICE (a device-side copy is
                 # ~free; fetching 10s of MB to the host every improving
                 # epoch dominated steady-state epoch time on tunneled TPUs)
+                # step must be copied too: train_step donates its input
+                # state, so an uncopied step buffer is deleted as soon as
+                # another epoch runs (the final flush then reads a dead
+                # array whenever the best epoch wasn't the last)
                 best_snapshot = (
                     jax.tree.map(jnp.copy, state.params),
                     jax.tree.map(jnp.copy, state.opt_state),
-                    state.step, epoch, min_loss, key)
+                    jnp.copy(state.step), epoch, min_loss, key)
                 saves_since_full += 1
                 if saves_since_full >= max(cfg.train.full_state_every, 1) \
                         or epoch == 0:
@@ -465,7 +516,8 @@ def train(cfg: Config, train_ds: Optional[KeypointDataset] = None,
                      "param_norm": float(param_norm)}
         logger.log(epoch, train_loss=train_loss, val_loss=val_loss,
                    minimun_loss=min_loss, lr=lr, epoch=epoch, **watch)
-        if cfg.train.log_every and epoch % cfg.train.log_every == 0:
+        if cfg.train.log_every and epoch % cfg.train.log_every == 0 \
+                and dist.is_coordinator():
             print(f"epoch {epoch}: lr={lr:.3g} train={train_loss:.6f} "
                   f"val={val_loss:.6f} best={min_loss:.6f}")
 

@@ -73,6 +73,14 @@ class DataConfig:
 class MeshConfig:
     data: int = 1                  # data-parallel axis size
     model: int = 1                 # tensor-parallel axis size
+    # multi-host: data-parallel slices spanning processes over DCN
+    # (parallel/distributed.py); 1 = single process or auto (process count)
+    dcn_data: int = 1
+    # jax.distributed coordination (None -> single process, or taken from
+    # KIT_COORDINATOR / KIT_NUM_PROCESSES / KIT_PROCESS_ID env)
+    coordinator: Optional[str] = None
+    num_processes: int = 1
+    process_id: int = 0
 
 
 @dataclasses.dataclass

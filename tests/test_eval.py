@@ -96,7 +96,6 @@ def test_http_serving_endpoint(rng):
     import threading
     import urllib.request
     import urllib.error
-    from http.server import HTTPServer
 
     from keypoints_interpolation_transformer_tpu.eval import serving
 
@@ -104,34 +103,10 @@ def test_http_serving_endpoint(rng):
     inp = serving.Inpainter({"params": params}, mc, bucket_multiple=16,
                             max_seq_len=32)
 
-    # spin the stdlib server on an ephemeral port in a thread,
-    # monkeypatching serve_forever to capture the instance for shutdown
-    srv_holder = {}
-
-    def run():
-        import keypoints_interpolation_transformer_tpu.eval.serving as sv
-        orig = HTTPServer.serve_forever
-
-        def fake_serve(self):
-            srv_holder["srv"] = self
-            orig(self)
-
-        HTTPServer.serve_forever = fake_serve
-        try:
-            sv.serve(inp, host="127.0.0.1", port=0)
-        except Exception:
-            pass
-        finally:
-            HTTPServer.serve_forever = orig
-
-    t = threading.Thread(target=run, daemon=True)
+    server, batcher = serving.make_server(inp, host="127.0.0.1", port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
-    for _ in range(100):
-        if "srv" in srv_holder:
-            break
-        import time
-        time.sleep(0.05)
-    port = srv_holder["srv"].server_address[1]
+    port = server.server_address[1]
     base = f"http://127.0.0.1:{port}"
 
     try:
@@ -161,4 +136,69 @@ def test_http_serving_endpoint(rng):
         except urllib.error.HTTPError as e:
             assert e.code == 400
     finally:
-        srv_holder["srv"].shutdown()
+        server.shutdown()
+        batcher.close()
+
+
+def test_http_serving_batches_concurrent_requests(rng):
+    """N concurrent single-video POSTs are merged into shared device
+    dispatches by the RequestBatcher; every response is still correct."""
+    import json
+    import threading
+    import urllib.request
+
+    from keypoints_interpolation_transformer_tpu.eval import serving
+
+    mc, params = _tiny_model_and_params()
+    inp = serving.Inpainter({"params": params}, mc, bucket_multiple=16,
+                            max_seq_len=32)
+    # wide window so all concurrent requests land in one batch
+    server, batcher = serving.make_server(inp, host="127.0.0.1", port=0,
+                                          window_ms=300.0)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+
+    N, T = 6, 8
+    vids = [rng.uniform(0.2, 0.8, (T, 54, 2)).astype(np.float32)
+            for _ in range(N)]
+    mask = [0, 1, 1, 0, 0, 0, 1, 0]
+    results, errs = [None] * N, []
+
+    # warm the jit once so the timed window isn't a compile
+    inp.inpaint([vids[0]], [np.asarray(mask, np.float32)])
+
+    def post(i):
+        try:
+            req = json.dumps({"videos": [vids[i].tolist()],
+                              "masks": [mask]}).encode()
+            r = urllib.request.urlopen(urllib.request.Request(
+                f"{base}/inpaint", req,
+                {"Content-Type": "application/json"}), timeout=300)
+            results[i] = np.asarray(json.loads(r.read())["videos"][0],
+                                    np.float32)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    try:
+        threads = [threading.Thread(target=post, args=(i,))
+                   for i in range(N)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert not errs, errs
+        mm = np.array(mask)
+        for i in range(N):
+            np.testing.assert_allclose(results[i][mm == 0],
+                                       vids[i][mm == 0], atol=1e-6)
+
+        stats = json.loads(urllib.request.urlopen(
+            f"{base}/statz", timeout=30).read())
+        assert stats["requests"] == N
+        assert stats["videos"] == N
+        # fewer device dispatches than requests = batching happened
+        assert stats["batches"] < N, stats
+        assert stats["max_batch_videos"] > 1, stats
+    finally:
+        server.shutdown()
+        batcher.close()
