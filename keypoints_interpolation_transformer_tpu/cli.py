@@ -44,6 +44,12 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--synthetic_vocab", type=int, default=8)
     p.add_argument("--synthetic_min_len", type=int, default=24)
     p.add_argument("--synthetic_max_len", type=int, default=96)
+    p.add_argument("--registry_path", type=str, default=None,
+                   help="JSON overlay of per-dataset corruption stats "
+                        "(dataset_config.json schema)")
+    p.add_argument("--dataset_name", type=str, default=None,
+                   help="override the dataset name (default: parsed from "
+                        "the validation path's '--' suffix, else 'all')")
     p.add_argument("--mesh_data", type=int, default=1)
     p.add_argument("--mesh_model", type=int, default=1)
     # multi-host (parallel/distributed.py): every rank runs the same
@@ -77,8 +83,8 @@ def _add_common(p: argparse.ArgumentParser):
 def _cfg_from_args(a, regime: str) -> Config:
     from .utils.registry import dataset_name_from_path
 
-    name = "all"
-    if a.validation_set_path:
+    name = a.dataset_name or "all"
+    if a.validation_set_path and not a.dataset_name:
         name = dataset_name_from_path(a.validation_set_path)
     return Config(
         model=ModelConfig(hidden_dim=a.hidden_dim, num_heads=a.num_heads,
@@ -100,7 +106,8 @@ def _cfg_from_args(a, regime: str) -> Config:
                         have_augmentation=a.augmentation,
                         augmentations_prob=a.augmentations_prob,
                         double_hand_rotation=a.double_hand_rotation,
-                        device_resident_data=a.device_resident_data),
+                        device_resident_data=a.device_resident_data,
+                        registry_path=a.registry_path),
         mesh=MeshConfig(data=a.mesh_data, model=a.mesh_model,
                         dcn_data=a.mesh_dcn, coordinator=a.coordinator,
                         num_processes=a.num_processes,

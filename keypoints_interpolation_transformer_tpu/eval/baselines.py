@@ -77,8 +77,12 @@ def baselines_main(args) -> int:
     from ..data.synthetic import synthetic_dataset
 
     if args.synthetic:
-        vids = synthetic_dataset(args.synthetic)
-        ds = KeypointDataset(videos=vids, dataset_name="all",
+        vids = synthetic_dataset(
+            args.synthetic, args.synthetic_min_len, args.synthetic_max_len,
+            seed=args.seed, motion=args.synthetic_motion,
+            vocab=args.synthetic_vocab)
+        ds = KeypointDataset(videos=vids,
+                             dataset_name=args.dataset_name or "all",
                              max_seq_len=args.max_seq_len)
     else:
         ds = KeypointDataset(path=args.validation_set_path,
@@ -90,7 +94,8 @@ def baselines_main(args) -> int:
                                  seed=args.seed,
                                  which=which,
                                  is_random_missing=("quaternion" in which
-                                                    and len(which) == 1))
+                                                    and len(which) == 1),
+                                 registry_path=args.registry_path)
     summary = {k: {"mean": float(np.mean(v)), "median": float(np.median(v)),
                    "n": len(v)} for k, v in results.items() if v}
     print(json.dumps(summary, indent=2))

@@ -82,8 +82,12 @@ def inference_main(args) -> int:
     from ..data.synthetic import synthetic_dataset
 
     if args.synthetic:
-        ds = KeypointDataset(videos=synthetic_dataset(args.synthetic),
-                             dataset_name="all",
+        vids = synthetic_dataset(
+            args.synthetic, args.synthetic_min_len, args.synthetic_max_len,
+            seed=args.seed, motion=args.synthetic_motion,
+            vocab=args.synthetic_vocab)
+        ds = KeypointDataset(videos=vids,
+                             dataset_name=args.dataset_name or "all",
                              max_seq_len=args.max_seq_len)
     else:
         ds = KeypointDataset(path=args.validation_set_path,
@@ -107,6 +111,8 @@ def inference_main(args) -> int:
     with jax.default_matmul_precision(mc.matmul_precision):
         res = evaluate_checkpoint(params, mc, ds,
                                   batch_size=args.batch_size,
-                                  seed=args.seed)
+                                  seed=args.seed,
+                                  registry_path=args.registry_path)
+    res = {k: v for k, v in res.items() if k != "per_video"}
     print(json.dumps(res, indent=2))
     return 0
