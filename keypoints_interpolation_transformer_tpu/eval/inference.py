@@ -12,7 +12,9 @@ evaluate a trained checkpoint over a validation set, reporting
 from __future__ import annotations
 
 import json
+import os
 import time
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -102,7 +104,7 @@ def inference_main(args) -> int:
                          matmul_precision=args.precision)
     else:
         with ocp.StandardCheckpointer() as c:
-            params = c.restore(args.checkpoint)
+            params = c.restore(os.path.abspath(args.checkpoint))
         mc = ModelConfig(hidden_dim=args.hidden_dim,
                          num_layers=args.num_layers,
                          num_heads=args.num_heads,

@@ -1,0 +1,110 @@
+"""Int8 inference quantization for the serving path.
+
+No reference counterpart (the reference serves nothing); this is a
+TPU-native serving extension: v5e MXUs run int8 x int8 -> int32 matmuls
+at twice the bf16 rate, so weight+activation int8 halves the matmul cost
+of the forward pass at a small accuracy cost.
+
+Mechanism: every ``nn.Dense`` in the model is intercepted at apply time
+(``flax.linen.intercept_methods`` — no model changes, no re-derived
+forward).  Weights are pre-quantized once per checkpoint with symmetric
+per-output-channel scales; activations are quantized dynamically with a
+symmetric per-token scale.  The dot runs int8 with an int32 accumulator
+(XLA lowers this onto the MXU's native int8 path); bias add and
+everything between the matmuls stays in the model's float dtype, so
+norms/softmax/gates are untouched.
+
+Accuracy is a deployment decision: `Inpainter(..., quantize="int8")`
+selects it, and `quantization_error()` reports the masked-frame MPJPE
+delta vs the float forward so callers can gate (RESULTS.md records the
+measured delta and speedup at the flagship shape).
+"""
+
+from __future__ import annotations
+
+import contextlib
+from typing import Dict, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def _quantize_kernel(kernel) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-output-channel int8 quantization of a (in, out)
+    Dense kernel."""
+    kernel = jnp.asarray(kernel, jnp.float32)
+    scale = jnp.max(jnp.abs(kernel), axis=0, keepdims=True) / 127.0
+    scale = jnp.maximum(scale, 1e-12)
+    q = jnp.clip(jnp.round(kernel / scale), -127, 127).astype(jnp.int8)
+    return q, scale[0]                      # (in, out) int8, (out,) f32
+
+
+def quantize_dense_table(params) -> Dict[str, Tuple]:
+    """{'/'-joined module path: (kernel_int8, scale)} for every Dense
+    kernel in a parameter pytree."""
+    table: Dict[str, Tuple] = {}
+
+    def walk(tree, path):
+        if isinstance(tree, dict):
+            if "kernel" in tree and getattr(tree["kernel"], "ndim", 0) == 2:
+                table["/".join(path)] = _quantize_kernel(tree["kernel"])
+            for k, v in tree.items():
+                walk(v, path + (k,))
+
+    root = params.get("params", params)
+    walk(root, ())
+    return table
+
+
+def _int8_dense(x, kernel_q, w_scale, bias, out_dtype):
+    """y = dequant(int8(x) @ kernel_q) + bias with per-token activation
+    scales; accumulation in int32 on the MXU."""
+    shape = x.shape
+    xf = x.reshape(-1, shape[-1]).astype(jnp.float32)
+    x_scale = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+    x_scale = jnp.maximum(x_scale, 1e-12)
+    xq = jnp.clip(jnp.round(xf / x_scale), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(xq, kernel_q, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * x_scale * w_scale[None, :]
+    if bias is not None:
+        y = y + bias[None, :].astype(jnp.float32)
+    return y.reshape(*shape[:-1], kernel_q.shape[1]).astype(out_dtype)
+
+
+def int8_interceptor(table: Dict[str, Tuple]):
+    """flax method interceptor replacing quantized Dense calls."""
+
+    def interceptor(next_fn, args, kwargs, context):
+        mod = context.module
+        name = getattr(context.orig_method, "__name__",
+                       getattr(getattr(context.orig_method, "func", None),
+                               "__name__", ""))
+        if (isinstance(mod, nn.Dense) and name in ("__call__", "_call")
+                and "/".join(mod.path) in table):
+            kernel_q, w_scale = table["/".join(mod.path)]
+            bias = (mod.variables["params"].get("bias")
+                    if mod.use_bias else None)
+            out_dtype = args[0].dtype
+            return _int8_dense(args[0], kernel_q, w_scale, bias, out_dtype)
+        return next_fn(*args, **kwargs)
+
+    return interceptor
+
+
+@contextlib.contextmanager
+def int8_dense_calls(table: Dict[str, Tuple]):
+    """Context manager: within it, model.apply uses int8 Dense matmuls."""
+    with nn.intercept_methods(int8_interceptor(table)):
+        yield
+
+
+def quantization_error(model, params, table, example_inputs,
+                       **apply_kwargs) -> float:
+    """Max |int8 forward - float forward| on the example batch."""
+    ref = model.apply(params, *example_inputs, **apply_kwargs)
+    with int8_dense_calls(table):
+        got = model.apply(params, *example_inputs, **apply_kwargs)
+    return float(jnp.max(jnp.abs(got.astype(jnp.float32) -
+                                 ref.astype(jnp.float32))))

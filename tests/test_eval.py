@@ -140,6 +140,45 @@ def test_http_serving_endpoint(rng):
         batcher.close()
 
 
+def test_int8_quantized_inpainter(rng):
+    """quantize="int8" swaps every Dense matmul for an int8 dot via the
+    flax method interceptor: same composite identity on non-missing
+    frames, predictions within int8 dequantization tolerance of the
+    float path, and every 2-D Dense kernel covered by the quant table."""
+    from keypoints_interpolation_transformer_tpu.eval import serving
+    from keypoints_interpolation_transformer_tpu.eval.quantize import (
+        quantization_error, quantize_dense_table)
+
+    mc, params = _tiny_model_and_params()
+    fl = serving.Inpainter({"params": params}, mc, bucket_multiple=16,
+                           max_seq_len=32)
+    q8 = serving.Inpainter({"params": params}, mc, bucket_multiple=16,
+                           max_seq_len=32, quantize="int8")
+
+    table = quantize_dense_table({"params": params})
+    n_dense = sum(1 for p in jax.tree_util.tree_leaves_with_path(params)
+                  if p[0][-1].key == "kernel" and p[1].ndim == 2)
+    assert len(table) == n_dense > 0
+
+    v = rng.uniform(0.2, 0.8, (12, 54, 2)).astype(np.float32)
+    m = np.zeros(12, np.float32)
+    m[4:8] = 1.0
+    out_f = fl.inpaint([v], [m])[0]
+    out_q = q8.inpaint([v], [m])[0]
+
+    # composite keeps non-missing frames bit-identical to the input
+    np.testing.assert_array_equal(out_q[m == 0], v[m == 0])
+    # int8 predictions track the float forward
+    np.testing.assert_allclose(out_q[m == 1], out_f[m == 1], atol=0.05)
+    # ... but are genuinely quantized (not the float path in disguise)
+    assert np.abs(out_q[m == 1] - out_f[m == 1]).max() > 0
+
+    # direct forward-delta report agrees
+    x = jnp.asarray(v[None])
+    err = quantization_error(fl.model, {"params": params}, table, (x, x))
+    assert 0 < err < 0.1
+
+
 def test_http_serving_batches_concurrent_requests(rng):
     """N concurrent single-video POSTs are merged into shared device
     dispatches by the RequestBatcher; every response is still correct."""
