@@ -185,12 +185,15 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, valid_ref, o_ref, *,
                 o_ref[b, :, h * dh:(h + 1) * dh] = out.astype(o_ref.dtype)
 
 
-def _batch_block(B, T, budget=1024):
+def _batch_block(B, T, D, itemsize, budget_bytes=1 << 20):
     """Rows per grid cell: enough work to hide per-cell overhead, bounded
     by VMEM — every blocked tensor is double-buffered by the pipeline, so
-    the forward holds 2 x 4 x (bb, T, D) blocks plus score scratch."""
+    the forward holds 2 x 4 x (bb, T, D) blocks plus score scratch.  The
+    budget is per-block BYTES (~1 MB), so wider models (larger D) get
+    proportionally fewer rows instead of overflowing scoped VMEM."""
+    rows = max(budget_bytes // max(D * itemsize, 1), 1)
     for bb in (8, 4, 2, 1):
-        if B % bb == 0 and bb * T <= budget:
+        if B % bb == 0 and bb * T <= rows:
             return bb
     return 1
 
@@ -212,7 +215,8 @@ def _fused_fwd(q, k, v, mask, valid, kind, add_keypad):
         pad = bq - T % bq
         qf = jnp.pad(qf, ((0, 0), (0, pad), (0, 0)))
     tq = qf.shape[1]
-    bb = _batch_block(B, T) if tq == T else 1
+    bb = _batch_block(B, T, D, jnp.dtype(q.dtype).itemsize) \
+        if tq == T else 1
 
     grid = (B // bb, tq // bq)
     q_spec = pl.BlockSpec((bb, bq, D), lambda b, j: (b, j, 0),
@@ -282,7 +286,8 @@ def _fused_bwd_pallas(q, k, v, g, mask, valid, kind, add_keypad):
         valid = jnp.ones((B, T), jnp.float32)
     qf, kf, vf, gf = (x.reshape(B, T, D) for x in (q, k, v, g))
     # 7 double-buffered (bb, T, D) blocks + (T, T) tiles in VMEM
-    bb = _batch_block(B, T, budget=512)
+    bb = _batch_block(B, T, D, jnp.dtype(q.dtype).itemsize,
+                      budget_bytes=512 << 10)
 
     spec = pl.BlockSpec((bb, T, D), lambda b: (b, 0, 0),
                         memory_space=pltpu.VMEM)
