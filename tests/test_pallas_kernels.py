@@ -40,6 +40,24 @@ def test_fused_attention_matches_xla(rng, kind, keypad):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
+def test_batch_block_budget_scales_with_width():
+    """The VMEM block budget is bytes-based: wider models get fewer rows
+    per grid cell (D=1024 f32 overflowed the 16 MB scoped VMEM when the
+    budget was row-based)."""
+    from keypoints_interpolation_transformer_tpu.ops.pallas.attention \
+        import _batch_block
+
+    # flagship: D=256 f32 -> 1 MB/block allows bb*T = 1024 rows
+    assert _batch_block(256, 128, 256, 4) == 8
+    # 4x wider -> 4x fewer rows per block
+    assert _batch_block(256, 128, 1024, 4) == 2
+    # bf16 halves the bytes -> twice the rows of f32 at the same width
+    assert _batch_block(256, 256, 1024, 2) == 2
+    assert _batch_block(256, 256, 1024, 4) == 1
+    # degenerate: always at least one row
+    assert _batch_block(1, 2048, 4096, 4) == 1
+
+
 def test_ambient_precision_selects_mxu_dtype():
     from keypoints_interpolation_transformer_tpu.ops.pallas.attention \
         import _ambient_mxu_dtype
