@@ -224,7 +224,8 @@ class RequestBatcher:
 
 def make_server(inpainter: Inpainter, host: str = "127.0.0.1",
                 port: int = 8321, max_batch_videos: int = 64,
-                window_ms: float = 3.0, request_timeout: float = 600.0):
+                window_ms: float = 3.0, request_timeout: float = 600.0,
+                max_videos_per_request: int = 256):
     """Threaded HTTP server with dynamic batching; returns (server,
     batcher) — call server.serve_forever() / batcher.close()."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -262,6 +263,10 @@ def make_server(inpainter: Inpainter, host: str = "127.0.0.1",
                 masks = [np.asarray(m, np.float32) for m in req["masks"]]
                 if len(videos) != len(masks):
                     raise ValueError("videos/masks length mismatch")
+                if len(videos) > max_videos_per_request:
+                    raise ValueError(
+                        f"too many videos in one request "
+                        f"({len(videos)} > {max_videos_per_request})")
                 for v, m in zip(videos, masks):
                     if v.ndim != 3 or v.shape[1:] != (NUM_KEYPOINTS,
                                                       NUM_COORDS):

@@ -69,12 +69,25 @@ def make_hybrid_mesh(data: int = -1, model: int = 1,
         return make_mesh(data, model)
     from jax.experimental import mesh_utils
 
-    ndev = len(jax.devices())
+    devices = jax.devices()
+    need = (model * dcn if data == -1
+            else max(data, 1) * model)
+    if len(devices) < need:
+        # same fallback as mesh.make_mesh: a too-small default backend
+        # (e.g. the one real TPU chip during tests) falls back to the
+        # virtual CPU devices
+        try:
+            cpus = jax.devices("cpu")
+        except RuntimeError:
+            cpus = []
+        if len(cpus) >= need:
+            devices = cpus
+    ndev = len(devices)
     if ndev % dcn:
         raise ValueError(f"{ndev} devices not divisible by dcn={dcn}")
     per = ndev // dcn
     if per % model:
-        raise ValueError(f"{per} devices/process not divisible by "
+        raise ValueError(f"{per} devices/granule not divisible by "
                          f"model={model}")
     ici_data = per // model
     if data not in (-1, dcn * ici_data):
@@ -83,14 +96,15 @@ def make_hybrid_mesh(data: int = -1, model: int = 1,
             f"ici_data={ici_data} (= {dcn * ici_data})")
     try:
         # TPU pods: granule = slice (devices carry slice_index)
-        devices = mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=(ici_data, model), dcn_mesh_shape=(dcn, 1))
+        grid = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(ici_data, model), dcn_mesh_shape=(dcn, 1),
+            devices=devices)
     except ValueError:
         # CPU (and single-slice-per-process backends): granule = process
-        devices = mesh_utils.create_hybrid_device_mesh(
+        grid = mesh_utils.create_hybrid_device_mesh(
             mesh_shape=(ici_data, model), dcn_mesh_shape=(dcn, 1),
-            process_is_granule=True)
-    return Mesh(devices, ("data", "model"))
+            devices=devices, process_is_granule=True)
+    return Mesh(grid, ("data", "model"))
 
 
 def global_put(x, sharding: NamedSharding):
