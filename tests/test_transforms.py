@@ -390,3 +390,44 @@ def test_dataset_corruption_distribution_matches_reference_logic(rng):
 
     assert abs(ours.mean() - ref[:, 0].mean()) / ref[:, 0].mean() < 0.1, (
         ours.mean(), ref[:, 0].mean())
+
+
+def test_dataset_stats_name_swap_is_faithful(rng):
+    """The reference SWAPS its stat names (dataloader.py:368-383):
+    ``mean_consecutive_missing`` drives the NUMBER of blocks and
+    ``mean_number_missing_blocks`` drives the block SIZE.  Pin the quirk:
+    (2, 14) stats must yield few long gaps, not fourteen 2-frame holes —
+    a well-meaning "fix" here would silently change every corruption
+    distribution (and invalidate registry overlays like the quality
+    demo's)."""
+    T = 96
+    few_long = DatasetMissingStats(
+        mean_consecutive_missing=2.0, std_consecutive_missing=0.5,
+        mean_number_missing_blocks=14.0, std_number_missing_blocks=2.0,
+        samples=200)
+    many_short = DatasetMissingStats(
+        mean_consecutive_missing=14.0, std_consecutive_missing=2.0,
+        mean_number_missing_blocks=2.0, std_number_missing_blocks=0.5,
+        samples=200)
+
+    def block_stats(stats, trials=100):
+        v = jnp.zeros((T, 54, 2))
+        runs = []
+        for i in range(trials):
+            _, m = missing_blocks_dataset(jax.random.key(1000 + i), v,
+                                          stats)
+            m = np.asarray(m)
+            edges = np.flatnonzero(np.diff(np.concatenate(
+                ([0.0], m, [0.0]))))
+            lengths = edges[1::2] - edges[0::2]
+            runs.append((len(lengths), lengths.mean() if len(lengths)
+                         else 0.0))
+        arr = np.array(runs)
+        return arr[:, 0].mean(), arr[:, 1].mean()
+
+    n_fl, len_fl = block_stats(few_long)
+    n_ms, len_ms = block_stats(many_short)
+    # (2, 14): ~2 blocks of ~double-digit length
+    assert n_fl < 4 and len_fl > 8, (n_fl, len_fl)
+    # (14, 2): many short holes
+    assert n_ms > 6 and len_ms < 4, (n_ms, len_ms)
