@@ -27,6 +27,7 @@ BATCH, T, K = 256, 128, 54
 HIDDEN, LAYERS, HEADS = 256, 6, 8
 STEPS = 8
 TORCH_BASELINE_VIDEOS = 6
+TORCH_BASELINE_REPEATS = 3
 FALLBACK_CPU_FPS = 40.0  # measured torch CPU reference-pattern fallback
 
 
@@ -148,13 +149,18 @@ def bench_torch_reference_pattern():
         out = out * torch.sigmoid(out)
         return head(out.transpose(0, 1))
 
+    # min-of-n: the per-video python loop is host-scheduling noisy; the
+    # minimum is the reproducible "best the reference pattern can do"
+    # (same policy as test_native_pack's timing)
     with torch.no_grad():
         one_video(videos[0], masks[0])  # warm
-        t0 = time.perf_counter()
-        for v, m in zip(videos, masks):
-            one_video(v, m)
-        dt = time.perf_counter() - t0
-    return TORCH_BASELINE_VIDEOS * T / dt
+        best_dt = float("inf")
+        for _ in range(TORCH_BASELINE_REPEATS):
+            t0 = time.perf_counter()
+            for v, m in zip(videos, masks):
+                one_video(v, m)
+            best_dt = min(best_dt, time.perf_counter() - t0)
+    return TORCH_BASELINE_VIDEOS * T / best_dt
 
 
 def main():
@@ -175,6 +181,8 @@ def main():
            for k, v in extra.items()},
         "cpu_baseline_fps": round(cpu_fps, 2),
         "cpu_baseline_source": "measured" if measured_cpu else "recorded",
+        "cpu_baseline_n_videos": TORCH_BASELINE_VIDEOS,
+        "cpu_baseline_n_repeats": TORCH_BASELINE_REPEATS,
     }
     print(json.dumps(result))  # ONE line only
 

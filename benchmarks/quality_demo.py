@@ -117,7 +117,7 @@ def main():
                                   batch_size=args.batch_size,
                                   seed=cfg.train.seed,
                                   registry_path=registry)
-    model_pv, fps = inf["per_video"], inf["frames_per_sec"]
+    model_pv, fps = inf["per_video"], inf["end_to_end_frames_per_sec"]
 
     dists = {"Baseline": base["freeze"], "AI": model_pv,
              "Cubicspline": base["cubic"]}

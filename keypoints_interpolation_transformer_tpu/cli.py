@@ -179,12 +179,23 @@ def build_parser() -> argparse.ArgumentParser:
     _add_common(p_base)
     p_base.add_argument("--which", type=str, default="all",
                         choices=["all", "freeze", "cubic", "quaternion"])
+    p_base.add_argument("--results_dir", type=str, default="results",
+                        help="where the reference-named image artifacts "
+                             "(initial_loss_euclidean_*, cubic_histogram_*)"
+                             " are written")
 
     p_infer = sub.add_parser("eval-model", help="checkpoint inference "
                              "benchmark (the reference's empty "
                              "3_test_IA_interpolation.py)")
     _add_common(p_infer)
     p_infer.add_argument("--checkpoint", type=str, required=True)
+    p_infer.add_argument("--variant", type=str, default="plain",
+                         choices=["plain", "cycle", "embedding"],
+                         help="checkpoint type: plain=a1/a4, cycle=a2 "
+                              "(needs --first_checkpoint), embedding=a3")
+    p_infer.add_argument("--first_checkpoint", type=str, default=None,
+                         help="frozen plain model feeding a cycle "
+                              "checkpoint (A2_train_cycle.py:99)")
 
     p_mat = sub.add_parser("materialize", help="precompute corrupted "
                            "tensors to HDF5 (reference "
@@ -202,6 +213,12 @@ def build_parser() -> argparse.ArgumentParser:
                          choices=["int8"],
                          help="int8 weight+activation matmuls (2x MXU "
                               "rate on v5e; small accuracy cost)")
+    p_serve.add_argument("--variant", type=str, default="plain",
+                         choices=["plain", "cycle", "embedding"],
+                         help="checkpoint type: plain=a1/a4, cycle=a2 "
+                              "(needs --first_checkpoint), embedding=a3")
+    p_serve.add_argument("--first_checkpoint", type=str, default=None)
+    p_serve.add_argument("--log_requests", action="store_true")
     return parser
 
 
@@ -269,8 +286,10 @@ def main(argv=None):
                              num_heads=a.num_heads,
                              matmul_precision=a.precision)
         serve(Inpainter.from_checkpoint(a.checkpoint, mc,
-                                        quantize=a.quantize),
-              host=a.host, port=a.port)
+                                        quantize=a.quantize,
+                                        variant=a.variant,
+                                        first_checkpoint=a.first_checkpoint),
+              host=a.host, port=a.port, log_requests=a.log_requests)
         return 0
 
     return 1

@@ -73,6 +73,73 @@ def evaluate_baselines(val_ds: KeypointDataset, batch_size: int = 8,
     return out
 
 
+def write_baseline_artifacts(results: Dict[str, List[float]],
+                             dataset_label: str,
+                             results_dir: str = "results") -> List[str]:
+    """The reference baseline scripts' image artifacts, same filenames:
+
+      * initial_loss_euclidean_{ds}.jpg — freeze-loss histogram
+        (2_dataset_missing_loss.py:69)
+      * cubic_histogram_freq_{ds}.jpg — dual freeze-vs-cubic histogram
+        (3_test_cubic_interpolation.py:101-140)
+      * cubic_histogram_{ds}.jpg — violin comparison
+        (3_test_cubic_interpolation.py:143-176)
+
+    Returns the list of files written (empty if matplotlib is missing).
+    """
+    import os
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return []
+    os.makedirs(results_dir, exist_ok=True)
+    written: List[str] = []
+
+    if results.get("freeze"):
+        path = os.path.join(results_dir,
+                            f"initial_loss_euclidean_{dataset_label}.jpg")
+        plt.figure()
+        plt.hist(results["freeze"], bins=24, edgecolor="black",
+                 color="skyblue", alpha=0.7)
+        plt.grid(axis="y", linestyle="--", alpha=0.7)
+        plt.title("Histogram of loss - Cubic")   # reference's literal title
+        plt.xlabel("Loss")
+        plt.ylabel("Frequence")
+        plt.savefig(path)
+        plt.close()
+        written.append(path)
+
+    if results.get("freeze") and results.get("cubic"):
+        path = os.path.join(results_dir,
+                            f"cubic_histogram_freq_{dataset_label}.jpg")
+        base, cub = results["freeze"], results["cubic"]
+        plt.figure(figsize=(12, 8))
+        bins = np.histogram_bin_edges(np.concatenate([base, cub]), bins=24)
+        plt.hist(base, bins=bins, alpha=0.7, label="Baseline Loss",
+                 color="skyblue", edgecolor="black")
+        plt.hist(cub, bins=bins, alpha=0.7, label="Cubic I. Loss",
+                 color="orange", edgecolor="black")
+        plt.grid(axis="y", linestyle="--", alpha=0.5)
+        plt.axvline(x=float(np.median(base)), color="blue",
+                    linestyle="dashed", linewidth=3,
+                    label="Median Baseline Loss")
+        plt.axvline(x=float(np.median(cub)), color="orange",
+                    linestyle="dashed", linewidth=3,
+                    label="Median Interpolation Loss")
+        plt.legend(loc="upper right", fontsize="small")
+        plt.title("Histogram of Loss - Cubic Interpolation", fontsize=18)
+        plt.xlabel("Loss", fontsize=14)
+        plt.ylabel("Frequency", fontsize=14)
+        plt.tight_layout()
+        plt.savefig(path)
+        plt.close()
+        written.append(path)
+
+    return written
+
+
 def baselines_main(args) -> int:
     from ..data.synthetic import synthetic_dataset
 
@@ -98,9 +165,20 @@ def baselines_main(args) -> int:
                                  registry_path=args.registry_path)
     summary = {k: {"mean": float(np.mean(v)), "median": float(np.median(v)),
                    "n": len(v)} for k, v in results.items() if v}
-    print(json.dumps(summary, indent=2))
 
-    if len(results) > 1:
+    label = args.dataset_name or ("synthetic" if args.synthetic else "all")
+    results_dir = getattr(args, "results_dir", "results")
+    import os
+    written = write_baseline_artifacts(results, label, results_dir)
+    if len([v for v in results.values() if v]) > 1:
         from .stats import compare_distributions
-        compare_distributions({k: v for k, v in results.items() if v})
+        violin = os.path.join(results_dir, f"cubic_histogram_{label}.jpg")
+        stats = compare_distributions(
+            {k: v for k, v in results.items() if v},
+            plot_path=violin, verbose=False)
+        if stats.get("plot"):
+            written.append(violin)
+        summary["stats"] = {k: v for k, v in stats.items() if k != "plot"}
+    summary["artifacts"] = written
+    print(json.dumps(summary, indent=2))
     return 0

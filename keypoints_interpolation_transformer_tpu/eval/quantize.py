@@ -101,10 +101,19 @@ def int8_dense_calls(table: Dict[str, Tuple]):
 
 
 def quantization_error(model, params, table, example_inputs,
-                       **apply_kwargs) -> float:
-    """Max |int8 forward - float forward| on the example batch."""
+                       frame_mask=None, **apply_kwargs) -> float:
+    """MPJPE delta of the int8 forward vs the float forward on the example
+    batch: mean over keypoints of the per-point Euclidean distance between
+    the two (B, T, K, 2) outputs.  ``frame_mask`` (B, T), 1 = missing,
+    restricts the mean to masked frames — the frames the model actually
+    fills — matching the bench.py / RESULTS.md parity-gate metric."""
     ref = model.apply(params, *example_inputs, **apply_kwargs)
     with int8_dense_calls(table):
         got = model.apply(params, *example_inputs, **apply_kwargs)
-    return float(jnp.max(jnp.abs(got.astype(jnp.float32) -
-                                 ref.astype(jnp.float32))))
+    d = jnp.linalg.norm(got.astype(jnp.float32) - ref.astype(jnp.float32),
+                        axis=-1)                          # (B, T, K)
+    if frame_mask is not None:
+        w = jnp.asarray(frame_mask, jnp.float32)[:, :, None]
+        return float(jnp.sum(d * w) / jnp.maximum(
+            jnp.sum(w) * d.shape[-1], 1.0))
+    return float(jnp.mean(d))

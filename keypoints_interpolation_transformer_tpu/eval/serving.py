@@ -39,12 +39,21 @@ class Inpainter:
 
     def __init__(self, params, model_cfg: ModelConfig,
                  bucket_multiple: int = 32, max_seq_len: int = 512,
-                 quantize: Optional[str] = None):
-        self.model = KeypointCompleter(
-            hidden_dim=model_cfg.hidden_dim,
-            num_layers=model_cfg.num_layers,
-            num_heads=model_cfg.num_heads,
-            input_size=model_cfg.input_size, ff_dim=model_cfg.ff_dim)
+                 quantize: Optional[str] = None, variant: str = "plain",
+                 first_params=None):
+        from ..train.steps import build_model
+        if variant not in ("plain", "cycle", "embedding"):
+            raise ValueError(f"unknown variant {variant!r}")
+        if variant == "cycle" and first_params is None:
+            raise ValueError("cycle checkpoints need first_params (the "
+                             "frozen plain model, A2_train_cycle.py:99)")
+        self.variant = variant
+        self.model = build_model(model_cfg, variant)
+        self.first_model = build_model(model_cfg, "plain") \
+            if variant == "cycle" else None
+        if first_params is not None and "params" in first_params:
+            first_params = first_params["params"]
+        self.first_params = first_params
         self.params = params
         self.precision = model_cfg.matmul_precision
         self.bucket = bucket_multiple
@@ -59,7 +68,11 @@ class Inpainter:
 
     @classmethod
     def from_checkpoint(cls, path: str,
-                        model_cfg: Optional[ModelConfig] = None, **kw):
+                        model_cfg: Optional[ModelConfig] = None,
+                        first_checkpoint: Optional[str] = None, **kw):
+        if first_checkpoint is not None:
+            first = cls._load_params(first_checkpoint)
+            kw["first_params"] = first
         if path.endswith(".pth"):
             from ..train.checkpoint import load_reference_checkpoint
             params, hyper = load_reference_checkpoint(path)
@@ -79,9 +92,27 @@ class Inpainter:
             params = {"params": params}
         return cls(params, model_cfg, **kw)
 
+    @staticmethod
+    def _load_params(path: str):
+        """Bare params tree from a reference .pth or an orbax dir."""
+        if path.endswith(".pth"):
+            from ..train.checkpoint import load_reference_checkpoint
+            params, _ = load_reference_checkpoint(path)
+            return params
+        import os
+
+        import orbax.checkpoint as ocp
+        with ocp.StandardCheckpointer() as c:
+            params = c.restore(os.path.abspath(path))
+        return params.get("params", params) if isinstance(params, dict) \
+            else params
+
     def _fn(self, t_pad: int):
         if t_pad not in self._jitted:
             model = self.model
+            first_model = self.first_model
+            first_params = self.first_params
+            variant = self.variant
             qtable = self._qtable
             if qtable is not None:
                 from .quantize import int8_dense_calls
@@ -89,17 +120,35 @@ class Inpainter:
             @jax.jit
             def run(params, inputs, mask, clean, valid):
                 import contextlib
+
+                from ..train.steps import cycle_forward
+                from ..transforms.corruption import zero_missing_frames
                 x, x_no = inputs[:, :-1], inputs[:, 1:]
                 x_mask, y_mask = mask[:, :-1], mask[:, 1:]
-                src_bias = attention_bias("repeat-inc", x_mask, t_pad)
-                tgt_bias = attention_bias("repeat-inc", y_mask, t_pad)
+                raw = params["params"] if "params" in params else params
                 ctx = (int8_dense_calls(qtable) if qtable is not None
                        else contextlib.nullcontext())
                 with ctx:
-                    pred = model.apply(
-                        params, x, x_no, src_frame_mask=x_mask,
-                        tgt_frame_mask=y_mask, src_bias=src_bias,
-                        tgt_bias=tgt_bias, valid_mask=valid)
+                    if variant == "embedding":
+                        # AE reconstructs the frame-aligned stream (x_no
+                        # lines up with `clean`); missing frames are
+                        # zeroed first, as the A3/A4 regimes feed it
+                        pred = model.apply(
+                            {"params": raw},
+                            zero_missing_frames(x_no, y_mask))
+                    elif variant == "cycle":
+                        pred = cycle_forward(
+                            first_model, first_params, model, raw,
+                            x, x_no, x_mask, y_mask, valid)
+                    else:
+                        src_bias = attention_bias("repeat-inc", x_mask,
+                                                  t_pad)
+                        tgt_bias = attention_bias("repeat-inc", y_mask,
+                                                  t_pad)
+                        pred = model.apply(
+                            {"params": raw}, x, x_no, src_frame_mask=x_mask,
+                            tgt_frame_mask=y_mask, src_bias=src_bias,
+                            tgt_bias=tgt_bias, valid_mask=valid)
                 return composite_prediction(pred, clean, y_mask)
 
             self._jitted[t_pad] = run
@@ -180,6 +229,15 @@ class RequestBatcher:
         self._stop = True
         self._q.put(None)
         self._thread.join(timeout=5)
+        # Fail (don't strand) any jobs still queued behind the sentinel —
+        # their submitters would otherwise block until request_timeout.
+        while True:
+            try:
+                job = self._q.get_nowait()
+            except self._queue_mod.Empty:
+                break
+            if job is not None:
+                job[2].set_exception(RuntimeError("server shutting down"))
 
     def _loop(self):
         import time
@@ -209,7 +267,8 @@ class RequestBatcher:
                 res = self._inpainter.inpaint(videos, masks)
             except Exception as e:  # surface device errors to every caller
                 for _, _, fut in jobs:
-                    fut.set_exception(e)
+                    if not fut.cancelled():
+                        fut.set_exception(e)
                 continue
             self.stats["requests"] += len(jobs)
             self.stats["videos"] += len(videos)
@@ -218,14 +277,16 @@ class RequestBatcher:
                 self.stats["max_batch_videos"], len(videos))
             off = 0
             for vs, _, fut in jobs:
-                fut.set_result(res[off:off + len(vs)])
+                if not fut.cancelled():
+                    fut.set_result(res[off:off + len(vs)])
                 off += len(vs)
 
 
 def make_server(inpainter: Inpainter, host: str = "127.0.0.1",
                 port: int = 8321, max_batch_videos: int = 64,
                 window_ms: float = 3.0, request_timeout: float = 600.0,
-                max_videos_per_request: int = 256):
+                max_videos_per_request: int = 256,
+                log_requests: bool = False):
     """Threaded HTTP server with dynamic batching; returns (server,
     batcher) — call server.serve_forever() / batcher.close()."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -275,10 +336,29 @@ def make_server(inpainter: Inpainter, host: str = "127.0.0.1",
                             f"{NUM_COORDS}), got {list(v.shape)}")
                     if len(m) != len(v):
                         raise ValueError("mask length != video length")
-                res = batcher.submit(videos, masks).result(request_timeout)
-                self._send(200, {"videos": [r.tolist() for r in res]})
             except (KeyError, ValueError, json.JSONDecodeError) as e:
                 self._send(400, {"error": str(e)})
+                return
+            import concurrent.futures
+            import time
+            t0 = time.monotonic()
+            fut = batcher.submit(videos, masks)
+            try:
+                res = fut.result(request_timeout)
+            except concurrent.futures.TimeoutError:
+                fut.cancel()  # drop it if the worker hasn't started it yet
+                self._send(504, {"error": "inference timed out"})
+                return
+            except Exception as e:  # device/runtime errors -> HTTP 500
+                self._send(500, {"error": f"{type(e).__name__}: {e}"})
+                return
+            self._send(200, {"videos": [r.tolist() for r in res]})
+            if log_requests:
+                n_frames = sum(len(v) for v in videos)
+                print(f"POST /inpaint videos={len(videos)} "
+                      f"frames={n_frames} "
+                      f"latency_ms={(time.monotonic() - t0) * 1e3:.1f}",
+                      flush=True)
 
     server = ThreadingHTTPServer((host, port), Handler)
     return server, batcher
@@ -287,9 +367,27 @@ def make_server(inpainter: Inpainter, host: str = "127.0.0.1",
 def serve(inpainter: Inpainter, host: str = "127.0.0.1", port: int = 8321,
           **kw):
     """Blocking HTTP serving around an Inpainter (threaded + batched)."""
+    import signal
+    import threading
+
     server, batcher = make_server(inpainter, host, port, **kw)
     print(f"serving on http://{host}:{server.server_address[1]}")
+
+    def _shutdown(signum, frame):
+        # serve_forever() must be stopped from another thread; shutdown()
+        # blocks until the serve loop exits.
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    prev = {}
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            prev[sig] = signal.signal(sig, _shutdown)
+        except ValueError:  # not the main thread (e.g. under a test)
+            pass
     try:
         server.serve_forever()
     finally:
+        for sig, handler in prev.items():
+            signal.signal(sig, handler)
         batcher.close()
+        server.server_close()

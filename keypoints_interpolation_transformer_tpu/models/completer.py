@@ -39,6 +39,8 @@ def _attention_platform() -> str:
     jax_default_device wins (the test suite pins CPU while the TPU plugin
     still wins the default-backend election); else the default backend."""
     dev = jax.config.jax_default_device
+    if isinstance(dev, str):  # jax also accepts platform strings here
+        return dev
     platform = getattr(dev, "platform", None)
     return platform if platform is not None else jax.default_backend()
 

@@ -105,6 +105,35 @@ class _NullLogger:
         pass
 
 
+def _snapshot_run_config(cfg: Config, logger) -> None:
+    """Persist the fully resolved run config next to the metrics JSONL —
+    the reference snapshots its flag set into wandb config and its code
+    via wandb.log_code (A1_train.py:357-372); here every run directory is
+    reproducible from its own artifacts: Config.from_json_file() on the
+    snapshot rebuilds the exact Config (extra provenance keys — package
+    version, git sha — are ignored by from_dict)."""
+    import json as _json
+    import subprocess
+
+    from .. import __version__
+    path = os.path.splitext(logger.path)[0].replace(".metrics", "")
+    path = path + ".config.json" if not path.endswith(".config.json") \
+        else path
+    try:
+        sha = subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            timeout=5).stdout.strip() or None
+    except Exception:
+        sha = None
+    doc = _json.loads(cfg.to_json())
+    doc["framework_version"] = __version__
+    doc["git_sha"] = sha
+    with open(path, "w") as f:
+        _json.dump(doc, f, indent=2)
+    logger.log_artifact(path, name="run_config")
+
+
 @dataclasses.dataclass
 class TrainResult:
     best_val_loss: float
@@ -350,6 +379,7 @@ def train(cfg: Config, train_ds: Optional[KeypointDataset] = None,
         run_name = f"run_{stamp}"
     if dist.is_coordinator():
         logger = MetricsLogger(run_name=run_name, use_wandb=use_wandb)
+        _snapshot_run_config(cfg, logger)
     else:
         logger = _NullLogger(run_name)
     ckpt_dir = os.path.join(cfg.train.checkpoint_dir, logger.run_name)
@@ -465,6 +495,11 @@ def train(cfg: Config, train_ds: Optional[KeypointDataset] = None,
                     ev_cubic.append(cl)
         # one gather per epoch (not per batch): on multi-process CPU each
         # collective spins up a fresh Gloo context
+        if not ev_keep:
+            raise ValueError(
+                "validation stream produced zero batches — the validation "
+                "set is empty or entirely filtered out; training cannot "
+                "select a best epoch without it")
         keep = np.concatenate(ev_keep)
         val_pv = dist.gather_concat(ev_pv)[keep].tolist()
         base_pv = dist.gather_concat(ev_base)[keep].tolist()

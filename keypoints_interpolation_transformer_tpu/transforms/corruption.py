@@ -33,12 +33,31 @@ key threading, so the *distribution* matches but individual draws differ.
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
-MAX_BLOCKS = 16  # static upper bound; >= any num_blocks the modes produce
+# Static unroll bound for the built-in modes: mode "all" draws 4-7 blocks
+# (dataloader.py:339) and every built-in dataset's stats keep nb_max well
+# under 16.  Registry OVERLAYS can exceed it — missing_blocks_dataset
+# derives a per-stats bound (static_max_blocks) instead of clipping.
+MAX_BLOCKS = 16
+
+
+def static_max_blocks(stats: "DatasetMissingStats") -> int:
+    """Static (trace-time) upper bound on the block count the reference's
+    sampling loop (dataloader.py:364-401) can produce for ``stats``.
+
+    The reference draws ``samples`` Gaussians from N(mean_cm, std_cm) and
+    uses ceil(75th percentile) as nb_max; the p75 of any sample set is
+    bounded by its max draw, and a 6-sigma margin bounds the max draw with
+    overwhelming probability (P < 1e-9 per call even at samples=1e4), so
+    the unrolled fill loop sized by this bound matches the reference's
+    dynamic behavior for any registry overlay, not just the built-ins."""
+    hi = stats.mean_consecutive_missing + 6.0 * stats.std_consecutive_missing
+    return max(MAX_BLOCKS, int(math.ceil(hi)) + 1)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -87,23 +106,24 @@ def _freeze_fill(video, starts, ends, active, T):
 
 
 def _blocks_from_sections(key, t, num_blocks, section, rest,
-                          size_min, size_max, random_offset: bool):
+                          size_min, size_max, random_offset: bool,
+                          max_blocks: int = MAX_BLOCKS):
     """Vectorized version of the reference's per-section block placement
     (dataloader.py:344-361, 407-419)."""
-    i = jnp.arange(MAX_BLOCKS)
+    i = jnp.arange(max_blocks)
     active = i < num_blocks
     k_size, k_off = jax.random.split(key)
-    num_ceros = jax.random.randint(k_size, (MAX_BLOCKS,),
+    num_ceros = jax.random.randint(k_size, (max_blocks,),
                                    size_min, size_max + 1)
     num_ceros = jnp.minimum(num_ceros, section)
     is_last = i == (num_blocks - 1)
     rest_i = jnp.where(is_last, rest, 0)
     if random_offset:
         hi = jnp.maximum(rest_i + section - num_ceros, 0)
-        offset = jax.random.randint(k_off, (MAX_BLOCKS,), 0, hi + 1)
+        offset = jax.random.randint(k_off, (max_blocks,), 0, hi + 1)
     else:
         # mode "all": randint(0, min(0, ...)) == 0 (dataloader.py:356)
-        offset = jnp.zeros(MAX_BLOCKS, jnp.int32)
+        offset = jnp.zeros(max_blocks, jnp.int32)
     starts = section * i + offset
     ends = jnp.minimum(starts + num_ceros, t - 1)
     return starts, ends, active
@@ -146,8 +166,11 @@ def missing_blocks_dataset(key, video, stats: DatasetMissingStats,
     bs_max = jnp.ceil(block_size[1]).astype(jnp.int32)
     bs_max = jnp.maximum(bs_max, bs_min)
 
+    # Static per-stats unroll bound — registry overlays with large block
+    # counts get a larger unroll instead of a silent clip at MAX_BLOCKS.
+    max_blocks = static_max_blocks(stats)
     num_blocks = jax.random.randint(k_nb, (), nb_min, nb_max + 1)
-    num_blocks = jnp.minimum(num_blocks, MAX_BLOCKS)
+    num_blocks = jnp.minimum(num_blocks, max_blocks)
     section = jnp.maximum(1, t // num_blocks)
 
     # Widen sections (and shrink the block count) when they cannot host the
@@ -155,14 +178,14 @@ def missing_blocks_dataset(key, video, stats: DatasetMissingStats,
     # section is bs_max + 4 itself, NOT recomputed from the new count.
     need = bs_max + 4
     adj = section < need
-    nb_adj = jnp.clip(t // jnp.maximum(need, 1), 1, MAX_BLOCKS)
+    nb_adj = jnp.clip(t // jnp.maximum(need, 1), 1, max_blocks)
     num_blocks = jnp.where(adj, nb_adj, num_blocks)
     section = jnp.where(adj, jnp.maximum(need, 1), section)
     rest = t % num_blocks
 
     starts, ends, active = _blocks_from_sections(
         k_blocks, t, num_blocks, section, rest, bs_min, bs_max,
-        random_offset=True)
+        random_offset=True, max_blocks=max_blocks)
     return _freeze_fill(video, starts, ends, active, T)
 
 

@@ -60,7 +60,7 @@ def test_evaluate_checkpoint_metrics():
     res = evaluate_checkpoint(params, mc, _tiny_ds(4), batch_size=4,
                               warmup=False)
     assert res["num_videos"] == 4
-    assert res["frames_per_sec"] > 0
+    assert res["end_to_end_frames_per_sec"] > 0
     assert np.isfinite(res["masked_mpjpe"])
     assert np.isfinite(res["val_euclidean_loss"])
 
@@ -241,3 +241,93 @@ def test_http_serving_batches_concurrent_requests(rng):
     finally:
         server.shutdown()
         batcher.close()
+
+
+def _variant_params(variant):
+    from keypoints_interpolation_transformer_tpu.train.steps import (
+        build_model)
+    mc = ModelConfig(hidden_dim=32, num_layers=1, num_heads=4, ff_dim=64)
+    model = build_model(mc, variant)
+    x = jnp.zeros((1, 8, 54, 2))
+    if variant == "embedding":
+        params = model.init(jax.random.key(1), x)["params"]
+    else:
+        params = model.init(jax.random.key(1), x, x)["params"]
+    return mc, params
+
+
+def test_evaluate_checkpoint_cycle_variant():
+    """eval-model covers a2 (Cycle) checkpoints: same metric dict as
+    plain, driven by a frozen first model (A2_train_cycle.py:99-115)."""
+    _, first_params = _tiny_model_and_params()
+    mc, params = _variant_params("cycle")
+    res = evaluate_checkpoint(params, mc, _tiny_ds(4), batch_size=4,
+                              warmup=False, variant="cycle",
+                              first_params=first_params)
+    for k in ("val_euclidean_loss", "masked_mpjpe",
+              "end_to_end_frames_per_sec", "num_videos"):
+        assert np.isfinite(res[k]) and res[k] >= 0, (k, res[k])
+    assert res["variant"] == "cycle"
+    # first_params is mandatory for cycle
+    import pytest
+    with pytest.raises(ValueError):
+        evaluate_checkpoint(params, mc, _tiny_ds(4), variant="cycle")
+
+
+def test_evaluate_checkpoint_embedding_variant():
+    """eval-model covers a3 (Embedding AE) checkpoints, scored as the A3
+    regime scores them (identity recon of the zero-masked stream)."""
+    mc, params = _variant_params("embedding")
+    res = evaluate_checkpoint(params, mc, _tiny_ds(4), batch_size=4,
+                              warmup=False, variant="embedding")
+    for k in ("val_euclidean_loss", "masked_mpjpe",
+              "end_to_end_frames_per_sec"):
+        assert np.isfinite(res[k]) and res[k] >= 0, (k, res[k])
+    assert res["variant"] == "embedding"
+
+
+def test_serving_cycle_and_embedding_variants(rng):
+    """The Inpainter serves every checkpoint type the framework produces;
+    composite still keeps non-missing frames bit-identical."""
+    from keypoints_interpolation_transformer_tpu.eval import serving
+
+    _, first_params = _tiny_model_and_params()
+    v = rng.uniform(0.2, 0.8, (12, 54, 2)).astype(np.float32)
+    m = np.zeros(12, np.float32)
+    m[4:8] = 1.0
+
+    for variant in ("cycle", "embedding"):
+        mc, params = _variant_params(variant)
+        kw = {"first_params": first_params} if variant == "cycle" else {}
+        inp = serving.Inpainter({"params": params}, mc, bucket_multiple=16,
+                                max_seq_len=32, variant=variant, **kw)
+        out = inp.inpaint([v], [m])[0]
+        assert out.shape == v.shape
+        np.testing.assert_array_equal(out[m == 0], v[m == 0])
+        assert np.abs(out[m == 1] - v[m == 1]).max() > 0  # actually filled
+        assert np.isfinite(out).all()
+
+
+def test_eval_baselines_cli_writes_reference_artifacts(tmp_path, capsys):
+    """The eval-baselines CLI emits the reference scripts' image files:
+    initial_loss_euclidean_{ds}.jpg (2_dataset_missing_loss.py:69),
+    cubic_histogram_freq_{ds}.jpg and cubic_histogram_{ds}.jpg
+    (3_test_cubic_interpolation.py:100-176)."""
+    import json
+    import os
+
+    from keypoints_interpolation_transformer_tpu.cli import main
+
+    rd = str(tmp_path / "res")
+    rc = main(["eval-baselines", "--synthetic", "6",
+               "--batch_size", "4", "--results_dir", rd])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    expect = [f"initial_loss_euclidean_synthetic.jpg",
+              f"cubic_histogram_freq_synthetic.jpg",
+              f"cubic_histogram_synthetic.jpg"]
+    for name in expect:
+        path = os.path.join(rd, name)
+        assert path in out["artifacts"], (name, out["artifacts"])
+        assert os.path.getsize(path) > 0
+    assert "anova" in out["stats"]

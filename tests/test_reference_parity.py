@@ -100,18 +100,18 @@ def test_attention_bias_matches_real_get_mask(ref, kind):
     np.testing.assert_array_equal(got, want)
 
 
-@pytest.mark.parametrize("variant", ["plain", "cycle"])
-def test_flax_matches_real_reference_forward(ref, variant):
-    torch.manual_seed(11)
+def _forward_parity(ref, variant, d, layers, heads, t, seed=11,
+                    atol=5e-5, rtol=1e-4):
+    torch.manual_seed(seed)
     cls = (ref.model.KeypointCompleter if variant == "plain"
            else ref.model.KeypointCompleterCycle)
-    net = cls(108, D, LAYERS, HEADS).eval()
+    net = cls(108, d, layers, heads).eval()
 
     rng = np.random.default_rng(3)
-    x, filled, fmask = _inputs(rng)
+    x, filled, fmask = _inputs(rng, t)
     kind = "repeat-inc" if variant == "plain" else "all"
     builder = ref.model.KeypointCompleter(108, 8, 1, 1)
-    real_mask = builder.get_mask(torch.from_numpy(fmask), T, kind)
+    real_mask = builder.get_mask(torch.from_numpy(fmask), t, kind)
 
     with torch.no_grad():
         want = net(torch.from_numpy(x), torch.from_numpy(filled),
@@ -120,20 +120,39 @@ def test_flax_matches_real_reference_forward(ref, variant):
                    src_mask=real_mask, tgt_mask=real_mask).numpy()
 
     sd = {k: v.numpy() for k, v in net.state_dict().items()}
-    params = completer_params_from_torch(sd, LAYERS)
+    params = completer_params_from_torch(sd, layers)
     if variant == "plain":
-        m = KeypointCompleter(hidden_dim=D, num_layers=LAYERS,
-                              num_heads=HEADS)
+        m = KeypointCompleter(hidden_dim=d, num_layers=layers,
+                              num_heads=heads)
     else:
-        m = keypoint_completer_cycle(D, LAYERS, HEADS)
-    bias = attention_bias(kind, jnp.asarray(fmask), T)
+        m = keypoint_completer_cycle(d, layers, heads)
+    bias = attention_bias(kind, jnp.asarray(fmask), t)
     got = m.apply({"params": params},
                   jnp.asarray(x)[None], jnp.asarray(filled)[None],
                   src_frame_mask=jnp.asarray(fmask)[None],
                   tgt_frame_mask=jnp.asarray(fmask)[None],
                   src_bias=bias, tgt_bias=bias)
-    np.testing.assert_allclose(np.asarray(got)[0], want,
-                               atol=5e-5, rtol=1e-4)
+    got = np.asarray(got)[0]
+    np.testing.assert_allclose(got, want, atol=atol, rtol=rtol)
+    # the headline gate: masked-frame MPJPE between the two frameworks
+    sel = fmask > 0
+    mpjpe = float(np.mean(np.linalg.norm(got[sel] - want[sel], axis=-1)))
+    assert mpjpe <= 1e-4, f"masked-frame MPJPE {mpjpe}"
+
+
+@pytest.mark.parametrize("variant", ["plain", "cycle"])
+def test_flax_matches_real_reference_forward(ref, variant):
+    _forward_parity(ref, variant, D, LAYERS, HEADS, T)
+
+
+@pytest.mark.parametrize("variant", ["plain", "cycle"])
+def test_flax_matches_real_reference_forward_flagship(ref, variant):
+    """Forward parity at the reference's OWN default dimensions —
+    hidden_dim=256, num_layers=6, num_heads=8 (parseMain.py:10-14) — and
+    T=128 (well past the toy T=9): numerical error compounds ~3x deeper
+    and ~8x wider than the toy case, so this is the configuration the
+    RESULTS.md parity table actually claims."""
+    _forward_parity(ref, variant, 256, 6, 8, 128, atol=2e-4, rtol=1e-3)
 
 
 def _synthetic_videos(rng, lengths=(8, 11, 9)):
@@ -156,19 +175,20 @@ def _synthetic_videos(rng, lengths=(8, 11, 9)):
     return videos
 
 
-def test_real_a1_train_checkpoint_roundtrip(ref, tmp_path):
+def _real_a1_roundtrip(ref, tmp_path, d, layers, heads, lengths,
+                       train_epochs=2):
     """Train with the REAL A1 train_epoch, eval with the REAL eval_epoch,
     save the reference .pth schema, load it here, and reproduce the real
     composite eval losses and predictions."""
     torch.manual_seed(0)
-    net = ref.model.KeypointCompleter(108, D, LAYERS, HEADS)
+    net = ref.model.KeypointCompleter(108, d, layers, heads)
     rng = np.random.default_rng(7)
-    videos = _synthetic_videos(rng)
+    videos = _synthetic_videos(rng, lengths)
 
     crit = torch.nn.MSELoss()
     opt = torch.optim.Adam(net.parameters(), lr=1e-3)
     dev = torch.device("cpu")
-    for _ in range(2):
+    for _ in range(train_epochs):
         losses = ref.a1.train_epoch(net, videos, crit, opt, dev)
     assert np.isfinite(np.mean(losses))
 
@@ -183,12 +203,12 @@ def test_real_a1_train_checkpoint_roundtrip(ref, tmp_path):
     torch.save({
         "model_state_dict": net.state_dict(),
         "optimizer_state_dict": opt.state_dict(),
-        "input_size": 108, "hidden_dim": D, "num_layers": LAYERS,
-        "num_heads": HEADS, "loss": float(np.mean(val_losses)),
+        "input_size": 108, "hidden_dim": d, "num_layers": layers,
+        "num_heads": heads, "loss": float(np.mean(val_losses)),
     }, path)
     params, hyper = load_reference_checkpoint(path)
-    assert hyper["hidden_dim"] == D and hyper["num_layers"] == LAYERS
-    m = KeypointCompleter(hidden_dim=D, num_layers=LAYERS, num_heads=HEADS)
+    assert hyper["hidden_dim"] == d and hyper["num_layers"] == layers
+    m = KeypointCompleter(hidden_dim=d, num_layers=layers, num_heads=heads)
 
     for i, (inputs, sota, mask) in enumerate(videos):
         x = inputs[0].numpy()[:-1]
@@ -242,3 +262,17 @@ def test_real_a1_train_checkpoint_roundtrip(ref, tmp_path):
         np.testing.assert_allclose(cubic_loss_ours,
                                    float(ref.a1.loss_cubic_acum[i]),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_real_a1_train_checkpoint_roundtrip(ref, tmp_path):
+    _real_a1_roundtrip(ref, tmp_path, D, LAYERS, HEADS, (8, 11, 9))
+
+
+@pytest.mark.slow
+def test_real_a1_train_checkpoint_roundtrip_flagship(ref, tmp_path):
+    """The round-2 VERDICT's missing #1: the same real-A1 .pth round-trip
+    at the reference's flagship configuration (256/6/8, parseMain.py:10-14)
+    with T >= 128 — the <=1e-4 masked-MPJPE parity claim is asserted at the
+    dimensions RESULTS.md actually cites, not extrapolated from 32/2/9."""
+    _real_a1_roundtrip(ref, tmp_path, 256, 6, 8, (128, 140, 131),
+                       train_epochs=1)

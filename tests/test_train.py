@@ -2,6 +2,8 @@
 freeze-graft behavior, and dp x tp mesh execution on the virtual 8-device
 CPU mesh."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -200,3 +202,23 @@ def test_device_resident_data_matches_host_path(tmp_path):
     r_dev = train(cfg_dev)
     np.testing.assert_allclose(r_dev.val_losses, r_host.val_losses,
                                rtol=1e-6)
+
+
+def test_run_config_snapshot_round_trips(tmp_path):
+    """Every run persists its resolved Config (the reference's
+    wandb config + log_code analog, A1_train.py:357-372):
+    results/{run}.config.json exists, round-trips through
+    Config.from_json_file to an equal Config, and records provenance."""
+    import dataclasses
+    import json
+
+    cfg = _cfg("a1", "t_cfgsnap", tmp_path, epochs=1)
+    train(cfg)
+    path = os.path.join("results", "t_cfgsnap.config.json")
+    assert os.path.exists(path)
+    with open(path) as f:
+        doc = json.load(f)
+    assert doc["framework_version"]
+    assert "git_sha" in doc
+    rt = Config.from_json_file(path)
+    assert dataclasses.asdict(rt) == dataclasses.asdict(cfg)

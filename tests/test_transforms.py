@@ -431,3 +431,77 @@ def test_dataset_stats_name_swap_is_faithful(rng):
     assert n_fl < 4 and len_fl > 8, (n_fl, len_fl)
     # (14, 2): many short holes
     assert n_ms > 6 and len_ms < 4, (n_ms, len_ms)
+
+
+def test_overlay_stats_above_max_blocks_are_not_clipped(rng):
+    """A registry overlay whose sampled block count exceeds the built-in
+    MAX_BLOCKS=16 unroll (possible via --registry_path, same schema as
+    dataset_config.json) must reproduce the reference loop's distribution
+    (dataloader.py:364-419), not silently clip at 16 blocks — the round-2
+    silent-cap finding.  static_max_blocks sizes the unroll from the
+    stats; this pins both the bound and the distribution at nb > 16."""
+    import math
+
+    from keypoints_interpolation_transformer_tpu.transforms.corruption import \
+        static_max_blocks
+
+    T = 256
+    stats = DatasetMissingStats(
+        mean_consecutive_missing=24.0, std_consecutive_missing=3.0,
+        mean_number_missing_blocks=2.0, std_number_missing_blocks=0.5,
+        samples=200)
+    assert static_max_blocks(stats) > 24
+
+    def ref_sim(r):
+        bl = [np.percentile(r.normal(stats.mean_consecutive_missing,
+                                     stats.std_consecutive_missing,
+                                     stats.samples), p) for p in (25, 75)]
+        bs = [np.percentile(r.normal(stats.mean_number_missing_blocks,
+                                     stats.std_number_missing_blocks,
+                                     stats.samples), p) for p in (25, 75)]
+        nb_min = max(math.floor(bl[0]), 1)
+        nb_max = max(math.ceil(bl[1]), nb_min)
+        bs_min = max(math.floor(bs[0]), 1)
+        bs_max = max(math.ceil(bs[1]), bs_min)
+        nb = int(r.integers(nb_min, nb_max + 1))
+        section = max(1, T // nb)
+        rest = T % nb
+        if section < bs_max + 4:
+            section = max(bs_max + 4, 1)
+            nb = max(1, T // section)
+            rest = T % nb
+        mask = np.zeros(T)
+        for i in range(nb):
+            nc = min(int(r.integers(bs_min, bs_max + 1)), section)
+            rr = rest if i == nb - 1 else 0
+            off = int(r.integers(0, rr + section - nc + 1))
+            s = section * i + off
+            e = min(s + nc, T - 1)
+            mask[s:e] = 1
+        return mask
+
+    def count_blocks(m):
+        edges = np.flatnonzero(np.diff(np.concatenate(([0.0], m, [0.0]))))
+        return len(edges) // 2
+
+    trials = 200
+    r = np.random.default_rng(11)
+    ref = np.array([(m.sum(), count_blocks(m))
+                    for m in (ref_sim(r) for _ in range(trials))])
+
+    v = jnp.zeros((T, 54, 2))
+    ours = []
+    for i in range(trials):
+        _, m = missing_blocks_dataset(jax.random.key(5000 + i), v, stats)
+        m = np.asarray(m)
+        ours.append((m.sum(), count_blocks(m)))
+    ours = np.array(ours)
+
+    # the clipped implementation would cap block counts at 16; the
+    # reference regularly places >20 blocks with these stats
+    assert ref[:, 1].max() > 16 and ours[:, 1].max() > 16, (
+        ref[:, 1].max(), ours[:, 1].max())
+    assert abs(ours[:, 0].mean() - ref[:, 0].mean()) / ref[:, 0].mean() \
+        < 0.1, (ours[:, 0].mean(), ref[:, 0].mean())
+    assert abs(ours[:, 1].mean() - ref[:, 1].mean()) / ref[:, 1].mean() \
+        < 0.1, (ours[:, 1].mean(), ref[:, 1].mean())
