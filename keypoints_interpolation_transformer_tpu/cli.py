@@ -75,6 +75,10 @@ def _add_common(p: argparse.ArgumentParser):
     # model execution knobs
     p.add_argument("--attention_impl", type=str, default="auto",
                    choices=["xla", "pallas", "auto"])
+    p.add_argument("--ff_impl", type=str, default="auto",
+                   choices=["xla", "pallas", "auto"],
+                   help="fused LN+FF+residual+LN sublayer kernel "
+                        "(ops/pallas/ffn.py); auto = pallas on TPU")
     p.add_argument("--scan_layers", action="store_true")
     p.add_argument("--remat", action="store_true")
     p.add_argument("--sequence_parallel", action="store_true")
@@ -91,6 +95,7 @@ def _cfg_from_args(a, regime: str) -> Config:
                           num_layers=a.num_layers,
                           matmul_precision=a.precision,
                           attention_impl=a.attention_impl,
+                          ff_impl=a.ff_impl,
                           scan_layers=a.scan_layers, remat=a.remat,
                           sequence_parallel=a.sequence_parallel),
         data=DataConfig(dataset_name=name,
@@ -130,7 +135,9 @@ def _cfg_from_args(a, regime: str) -> Config:
                           results_dir=getattr(a, "results_dir", "results"),
                           checkpoint_dir=getattr(a, "checkpoint_dir",
                                                  "model_checkpoint"),
-                          fused_loss=getattr(a, "fused_loss", False)),
+                          fused_loss=getattr(a, "fused_loss", False),
+                          full_state_every=getattr(a, "full_state_every",
+                                                   5)),
     )
 
 
@@ -154,6 +161,9 @@ def build_parser() -> argparse.ArgumentParser:
                          help="full_state dir: restores params, optimizer, "
                               "epoch counter, LR position and RNG key")
     p_train.add_argument("--max_epochs_this_run", type=int, default=None)
+    p_train.add_argument("--full_state_every", type=int, default=5,
+                         help="write the exact-resume full_state every Nth "
+                              "best-checkpoint save (epoch 0 always)")
     p_train.add_argument("--save_checkpoints", action=B, default=True)
     p_train.add_argument("--save_plots", action=B, default=False,
                          help="violin histogram + validation strips on new "

@@ -48,6 +48,11 @@ class Inpainter:
             raise ValueError("cycle checkpoints need first_params (the "
                              "frozen plain model, A2_train_cycle.py:99)")
         self.variant = variant
+        if quantize == "int8":
+            # int8 intercepts nn.Dense calls; the fused pallas FF sublayer
+            # bypasses Dense, so quantized serving pins the xla FF path
+            import dataclasses as _dc
+            model_cfg = _dc.replace(model_cfg, ff_impl="xla")
         self.model = build_model(model_cfg, variant)
         self.first_model = build_model(model_cfg, "plain") \
             if variant == "cycle" else None

@@ -94,6 +94,9 @@ class KeypointCompleter(nn.Module):
     # table) — and xla elsewhere
     attention_impl: str = "auto"
     auto_pallas_min_len: int = 0
+    # "pallas" (via "auto" on TPU): fused LN+FF+residual+LN sublayer kernel
+    # (ops/pallas/ffn.py); "xla": flax FeedForward + LayerNorms
+    ff_impl: str = "auto"
     scan_layers: bool = False   # lax.scan over layers (fast compile)
     remat: bool = False         # per-layer rematerialization
     # sequence parallelism: constrain the token axis of the embedding
@@ -208,7 +211,7 @@ class KeypointCompleter(nn.Module):
         decoded = TransformerCore(
             self.hidden_dim, self.num_heads, self.num_layers, self.ff_dim,
             self.dtype, scan_layers=self.scan_layers, remat=self.remat,
-            name="transformer")(
+            ff_impl=self.ff_impl, name="transformer")(
                 src, tgt, enc_bias, dec_bias, cross_bias,
                 src_fused, tgt_fused, cross_fused)
 

@@ -124,19 +124,83 @@ class FeedForward(nn.Module):
         return nn.Dense(self.dim, dtype=self.dtype, name="linear2")(h)
 
 
+class _DenseParams(nn.Module):
+    """Parameters of an nn.Dense (same names/shapes/initializers) WITHOUT
+    calling it — lets the fused-FFN path own the identical param tree, so
+    checkpoints swap freely between ff_impl='xla' and 'pallas'."""
+
+    features_in: int
+    features_out: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.features_in, self.features_out))
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.features_out,))
+        return k, b
+
+
+class _LayerNormParams(nn.Module):
+    """nn.LayerNorm's scale/bias params without calling it."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.dim,))
+        b = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return s, b
+
+
+class _FFParams(nn.Module):
+    """linear1/linear2 params under an 'ff'-named scope (matches
+    FeedForward's tree)."""
+
+    dim: int
+    ff_dim: int
+
+    @nn.compact
+    def __call__(self):
+        w1, b1 = _DenseParams(self.dim, self.ff_dim, name="linear1")()
+        w2, b2 = _DenseParams(self.ff_dim, self.dim, name="linear2")()
+        return w1, b1, w2, b2
+
+
+def resolve_ff_impl(impl: str) -> str:
+    """"auto": the fused Pallas FF-sublayer kernel on TPU (the GELU
+    intermediate and the residual+LayerNorm never touch HBM; RESULTS.md
+    round-3 table), plain XLA elsewhere."""
+    if impl != "auto":
+        return impl
+    from ..models.completer import _attention_platform
+    return "pallas" if _attention_platform() == "tpu" else "xla"
+
+
 class EncoderLayer(nn.Module):
-    """Post-LN: x = LN1(x + SA(x)); x = LN2(x + FF(x))."""
+    """Post-LN: x = LN1(x + SA(x)); x = LN2(x + FF(x)).
+
+    ``ff_impl`` "pallas" runs the whole LN1 -> FF -> residual -> LN2 tail
+    as ONE fused kernel (ops/pallas/ffn.py) with an identical param tree.
+    """
 
     dim: int
     num_heads: int
     ff_dim: int
     dtype: jnp.dtype = jnp.float32
+    ff_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, bias=None, fused=None):
-        x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm1")(
-            x + MultiHeadAttention(self.dim, self.num_heads, self.dtype,
-                                   name="self_attn")(x, x, bias, fused))
+        r = x + MultiHeadAttention(self.dim, self.num_heads, self.dtype,
+                                   name="self_attn")(x, x, bias, fused)
+        if resolve_ff_impl(self.ff_impl) == "pallas":
+            from ..ops.pallas.ffn import fused_ffn
+            g1, be1 = _LayerNormParams(self.dim, name="norm1")()
+            w1, b1, w2, b2 = _FFParams(self.dim, self.ff_dim, name="ff")()
+            g2, be2 = _LayerNormParams(self.dim, name="norm2")()
+            return fused_ffn(r, w1, b1, w2, b2, g1, be1, g2, be2, True)
+        x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm1")(r)
         x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm2")(
             x + FeedForward(self.dim, self.ff_dim, self.dtype,
                             name="ff")(x))
@@ -144,12 +208,15 @@ class EncoderLayer(nn.Module):
 
 
 class DecoderLayer(nn.Module):
-    """Post-LN: self-attn, cross-attn, feed-forward."""
+    """Post-LN: self-attn, cross-attn, feed-forward.
+
+    ``ff_impl`` "pallas" fuses the LN2 -> FF -> residual -> LN3 tail."""
 
     dim: int
     num_heads: int
     ff_dim: int
     dtype: jnp.dtype = jnp.float32
+    ff_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, memory, self_bias=None, cross_bias=None,
@@ -158,10 +225,16 @@ class DecoderLayer(nn.Module):
             x + MultiHeadAttention(self.dim, self.num_heads, self.dtype,
                                    name="self_attn")(x, x, self_bias,
                                                      self_fused))
-        x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm2")(
-            x + MultiHeadAttention(self.dim, self.num_heads, self.dtype,
+        r = x + MultiHeadAttention(self.dim, self.num_heads, self.dtype,
                                    name="cross_attn")(x, memory, cross_bias,
-                                                      cross_fused))
+                                                      cross_fused)
+        if resolve_ff_impl(self.ff_impl) == "pallas":
+            from ..ops.pallas.ffn import fused_ffn
+            g1, be1 = _LayerNormParams(self.dim, name="norm2")()
+            w1, b1, w2, b2 = _FFParams(self.dim, self.ff_dim, name="ff")()
+            g2, be2 = _LayerNormParams(self.dim, name="norm3")()
+            return fused_ffn(r, w1, b1, w2, b2, g1, be1, g2, be2, True)
+        x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm2")(r)
         x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm3")(
             x + FeedForward(self.dim, self.ff_dim, self.dtype,
                             name="ff")(x))
@@ -174,12 +247,13 @@ class _EncoderScanBody(nn.Module):
     ff_dim: int
     dtype: jnp.dtype
     remat: bool
+    ff_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, bias, fused):
         layer = nn.remat(EncoderLayer) if self.remat else EncoderLayer
         x = layer(self.dim, self.num_heads, self.ff_dim, self.dtype,
-                  name="layer")(x, bias, fused)
+                  self.ff_impl, name="layer")(x, bias, fused)
         return x, None
 
 
@@ -189,14 +263,16 @@ class _DecoderScanBody(nn.Module):
     ff_dim: int
     dtype: jnp.dtype
     remat: bool
+    ff_impl: str = "xla"
 
     @nn.compact
     def __call__(self, y, memory, self_bias, cross_bias, self_fused,
                  cross_fused):
         layer = nn.remat(DecoderLayer) if self.remat else DecoderLayer
         y = layer(self.dim, self.num_heads, self.ff_dim, self.dtype,
-                  name="layer")(y, memory, self_bias, cross_bias,
-                                self_fused, cross_fused)
+                  self.ff_impl, name="layer")(y, memory, self_bias,
+                                              cross_bias, self_fused,
+                                              cross_fused)
         return y, None
 
 
@@ -216,6 +292,7 @@ class TransformerCore(nn.Module):
     dtype: jnp.dtype = jnp.float32
     scan_layers: bool = False
     remat: bool = False
+    ff_impl: str = "xla"
 
     @nn.compact
     def __call__(self, src, tgt, src_bias=None, tgt_bias=None,
@@ -228,7 +305,7 @@ class TransformerCore(nn.Module):
                 in_axes=(nn.broadcast, nn.broadcast),
                 length=self.num_layers)(
                     self.dim, self.num_heads, self.ff_dim, self.dtype,
-                    self.remat, name="encoder_scan")
+                    self.remat, self.ff_impl, name="encoder_scan")
             x, _ = enc(src, src_bias, src_fused)
         else:
             x = src
@@ -236,8 +313,8 @@ class TransformerCore(nn.Module):
                 layer = nn.remat(EncoderLayer) if self.remat \
                     else EncoderLayer
                 x = layer(self.dim, self.num_heads, self.ff_dim,
-                          self.dtype, name=f"encoder_{i}")(
-                              x, src_bias, src_fused)
+                          self.dtype, self.ff_impl,
+                          name=f"encoder_{i}")(x, src_bias, src_fused)
         memory = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
                               name="encoder_norm")(x)
 
@@ -248,7 +325,7 @@ class TransformerCore(nn.Module):
                 in_axes=(nn.broadcast,) * 5,
                 length=self.num_layers)(
                     self.dim, self.num_heads, self.ff_dim, self.dtype,
-                    self.remat, name="decoder_scan")
+                    self.remat, self.ff_impl, name="decoder_scan")
             y, _ = dec(tgt, memory, tgt_bias, cross_bias, tgt_fused,
                        cross_fused)
         else:
@@ -257,7 +334,8 @@ class TransformerCore(nn.Module):
                 layer = nn.remat(DecoderLayer) if self.remat \
                     else DecoderLayer
                 y = layer(self.dim, self.num_heads, self.ff_dim,
-                          self.dtype, name=f"decoder_{i}")(
+                          self.dtype, self.ff_impl,
+                          name=f"decoder_{i}")(
                               y, memory, tgt_bias, cross_bias,
                               tgt_fused, cross_fused)
         return nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,

@@ -100,10 +100,25 @@ def make_hybrid_mesh(data: int = -1, model: int = 1,
             mesh_shape=(ici_data, model), dcn_mesh_shape=(dcn, 1),
             devices=devices)
     except ValueError:
-        # CPU (and single-slice-per-process backends): granule = process
-        grid = mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=(ici_data, model), dcn_mesh_shape=(dcn, 1),
-            devices=devices, process_is_granule=True)
+        # CPU and single-slice-per-process backends, including dcn counts
+        # that GROUP several processes per DCN granule (e.g. 4 processes,
+        # dcn_data=2): slice devices process-major into ``dcn`` contiguous
+        # granules, lay each granule out (ici_rows, model), and stack the
+        # granules along the data axis — "model" collectives stay inside a
+        # granule, only the data all-reduce crosses the slow axis
+        if nproc < dcn or nproc % dcn:
+            raise ValueError(
+                f"dcn_data={dcn} needs one granule (slices or process "
+                f"groups) per DCN slot, but {nproc} process(es) cannot "
+                f"form {dcn} equal granules")
+        import numpy as _np
+        devs = sorted(devices, key=lambda d: (d.process_index, d.id))
+        per_granule = ndev // dcn
+        ici_rows = per_granule // model
+        grid = _np.concatenate(
+            [_np.array(devs[g * per_granule:(g + 1) * per_granule],
+                       dtype=object).reshape(ici_rows, model)
+             for g in range(dcn)], axis=0)
     return Mesh(grid, ("data", "model"))
 
 

@@ -323,9 +323,13 @@ def train(cfg: Config, train_ds: Optional[KeypointDataset] = None,
             dcn_data=cfg.mesh.dcn_data if cfg.mesh.dcn_data > 1 else None)
     elif cfg.mesh.data * cfg.mesh.model > 1:
         mesh = make_mesh(cfg.mesh.data, cfg.mesh.model)
-        # the Adam moments mirror the param tree, so they take the same
-        # tensor-parallel placement; a resumed optimizer state is sharded,
-        # not re-initialized
+    if mesh is not None:
+        # one placement policy for BOTH the single- and multi-process
+        # branches (shard_params routes through global_put, which handles
+        # the multi-process global-array assembly): params and the Adam
+        # moments take the Megatron-style tensor-parallel layout instead
+        # of GSPMD defaults; a resumed optimizer state is sharded, not
+        # re-initialized
         sharded = shard_params(state.params, mesh)
         if epoch_start > 0:
             os_ = state.opt_state

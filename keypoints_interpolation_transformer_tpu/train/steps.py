@@ -41,6 +41,7 @@ def build_model(model_cfg, variant: Optional[str] = None):
     v = variant or model_cfg.variant
     dtype = jnp.dtype(model_cfg.compute_dtype)
     impl = getattr(model_cfg, "attention_impl", "xla")
+    ff_impl = getattr(model_cfg, "ff_impl", "xla")
     scan = getattr(model_cfg, "scan_layers", False)
     remat = getattr(model_cfg, "remat", False)
     sp = getattr(model_cfg, "sequence_parallel", False)
@@ -49,13 +50,14 @@ def build_model(model_cfg, variant: Optional[str] = None):
             hidden_dim=model_cfg.hidden_dim, num_layers=model_cfg.num_layers,
             num_heads=model_cfg.num_heads, input_size=model_cfg.input_size,
             ff_dim=model_cfg.ff_dim, dtype=dtype, attention_impl=impl,
-            scan_layers=scan, remat=remat, sequence_parallel=sp)
+            ff_impl=ff_impl, scan_layers=scan, remat=remat,
+            sequence_parallel=sp)
     if v == "cycle":
         return keypoint_completer_cycle(
             model_cfg.hidden_dim, model_cfg.num_layers, model_cfg.num_heads,
             input_size=model_cfg.input_size, ff_dim=model_cfg.ff_dim,
-            dtype=dtype, attention_impl=impl, scan_layers=scan, remat=remat,
-            sequence_parallel=sp)
+            dtype=dtype, attention_impl=impl, ff_impl=ff_impl,
+            scan_layers=scan, remat=remat, sequence_parallel=sp)
     if v == "embedding":
         return Embedding(hidden_dim=model_cfg.hidden_dim,
                          input_size=model_cfg.input_size, dtype=dtype)

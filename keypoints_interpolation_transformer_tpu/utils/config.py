@@ -29,6 +29,9 @@ class ModelConfig:
     # "auto" (default): fused pallas kernel on TPU (wins at every measured
     # shape, RESULTS.md), xla elsewhere; "xla" | "pallas" force a path
     attention_impl: str = "auto"
+    # fused FF-sublayer kernel (LN+FF+residual+LN in one pass): "auto" =
+    # pallas on TPU, xla elsewhere
+    ff_impl: str = "auto"
     # lax.scan over layers (stacked params; identical numerics).  NOTE:
     # prefer the unrolled default when tensor-parallel sharding is on —
     # GSPMD-partitioning a scanned loop compiles far slower than the

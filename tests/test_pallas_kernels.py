@@ -248,3 +248,120 @@ def test_fused_loss_train_step_matches_xla(rng, tmp_path):
     np.testing.assert_allclose(loss_p, loss_x, rtol=1e-5)
     for a, b in zip(jax.tree.leaves(params_p), jax.tree.leaves(params_x)):
         np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+# ---- fused feed-forward sublayer (ops/pallas/ffn.py) ---------------------
+
+def _ffn_operands(rng, N=24, D=32, FF=64):
+    r = jnp.asarray(rng.normal(size=(2, N // 2, D)).astype(np.float32))
+    w1 = jnp.asarray((rng.normal(size=(D, FF)) * 0.1).astype(np.float32))
+    b1 = jnp.asarray(rng.normal(size=(FF,)).astype(np.float32) * 0.01)
+    w2 = jnp.asarray((rng.normal(size=(FF, D)) * 0.1).astype(np.float32))
+    b2 = jnp.asarray(rng.normal(size=(D,)).astype(np.float32) * 0.01)
+    g1 = jnp.asarray(1.0 + 0.1 * rng.normal(size=(D,)).astype(np.float32))
+    be1 = jnp.asarray(0.1 * rng.normal(size=(D,)).astype(np.float32))
+    g2 = jnp.asarray(1.0 + 0.1 * rng.normal(size=(D,)).astype(np.float32))
+    be2 = jnp.asarray(0.1 * rng.normal(size=(D,)).astype(np.float32))
+    return r, w1, b1, w2, b2, g1, be1, g2, be2
+
+
+@pytest.mark.parametrize("pre_ln", [False, True])
+def test_fused_ffn_matches_reference(rng, pre_ln):
+    from keypoints_interpolation_transformer_tpu.ops.pallas.ffn import (
+        ffn_reference, fused_ffn)
+
+    ops = _ffn_operands(rng)
+    with pltpu.force_tpu_interpret_mode(), \
+            jax.default_matmul_precision("highest"):
+        got = fused_ffn(*ops, pre_ln)
+    want = ffn_reference(*ops, pre_ln=pre_ln)
+    # only forward delta is the in-kernel A&S-7.1.26 erf (<=1.5e-7)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_fused_ffn_grads_match(rng):
+    from keypoints_interpolation_transformer_tpu.ops.pallas.ffn import (
+        ffn_reference, fused_ffn)
+
+    ops = _ffn_operands(rng)
+
+    def f1(*a):
+        return jnp.sum(fused_ffn(*a, True) ** 2)
+
+    def f2(*a):
+        return jnp.sum(ffn_reference(*a, pre_ln=True) ** 2)
+
+    with pltpu.force_tpu_interpret_mode(), \
+            jax.default_matmul_precision("highest"):
+        g1 = jax.grad(f1, argnums=tuple(range(9)))(*ops)
+    g2 = jax.grad(f2, argnums=tuple(range(9)))(*ops)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_split_hi_lo_survives_jit_folding(rng):
+    """REGRESSION: an astype-round-trip hi/lo split gets folded by XLA's
+    excess-precision simplifier when the input is a runtime value, turning
+    lo into zeros and silently degrading bf16x3 to single-pass bf16
+    (observed as full-model MPJPE 1.9e-3 vs the 1e-4 gate).  The
+    reduce_precision-based split must yield a faithful two-term
+    decomposition under jit for ARGUMENT inputs."""
+    from keypoints_interpolation_transformer_tpu.ops.pallas.ffn import (
+        _split_hi_lo)
+
+    x = jnp.asarray(rng.normal(size=(64, 64)).astype(np.float32))
+    hi, lo = jax.jit(_split_hi_lo)(x)
+    # the two bf16 terms reconstruct x to ~bf16^2 relative error
+    recon = hi.astype(np.float32) + lo.astype(np.float32)
+    np.testing.assert_allclose(np.asarray(recon), np.asarray(x),
+                               rtol=1e-5, atol=1e-6)
+    # and lo genuinely carries the residual (the bug zeroed it)
+    assert float(jnp.max(jnp.abs(lo.astype(jnp.float32)))) > 0
+
+
+def test_model_ff_pallas_matches_xla_and_shares_params(rng):
+    """ff_impl='pallas' reuses the exact param tree of the xla path (so
+    checkpoints swap freely) and reproduces its outputs."""
+    T = 16
+    x = jnp.asarray(rng.uniform(size=(1, T, 54, 2)).astype(np.float32))
+    f = jnp.asarray(rng.uniform(size=(1, T, 54, 2)).astype(np.float32))
+    m = jnp.asarray((rng.random((1, T)) < 0.4).astype(np.float32))
+
+    kw = dict(hidden_dim=32, num_layers=2, num_heads=4, ff_dim=64,
+              attention_impl="xla")
+    model_x = KeypointCompleter(**kw, ff_impl="xla")
+    model_p = KeypointCompleter(**kw, ff_impl="pallas")
+    params = model_x.init(jax.random.key(0), x, f)
+    with pltpu.force_tpu_interpret_mode():
+        params_p = model_p.init(jax.random.key(0), x, f)
+    assert jax.tree.structure(params) == jax.tree.structure(params_p)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params_p)):
+        assert a.shape == b.shape
+
+    from keypoints_interpolation_transformer_tpu.ops.masks import (
+        attention_bias)
+    bias = attention_bias("repeat-inc", m, T)
+    out_x = model_x.apply(params, x, f, src_frame_mask=m, tgt_frame_mask=m,
+                          src_bias=bias, tgt_bias=bias)
+    with pltpu.force_tpu_interpret_mode(), \
+            jax.default_matmul_precision("highest"):
+        out_p = model_p.apply(params, x, f, src_frame_mask=m,
+                              tgt_frame_mask=m, src_bias=bias,
+                              tgt_bias=bias)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
+                               atol=2e-5)
+
+
+def test_ff_impl_auto_resolution():
+    import unittest.mock as mock
+
+    import keypoints_interpolation_transformer_tpu.models.completer as mc
+    from keypoints_interpolation_transformer_tpu.models.layers import (
+        resolve_ff_impl)
+
+    with mock.patch.object(mc, "_attention_platform", return_value="tpu"):
+        assert resolve_ff_impl("auto") == "pallas"
+        assert resolve_ff_impl("xla") == "xla"
+    with mock.patch.object(mc, "_attention_platform", return_value="cpu"):
+        assert resolve_ff_impl("auto") == "xla"
+        assert resolve_ff_impl("pallas") == "pallas"
