@@ -94,6 +94,10 @@ class KeypointCompleter(nn.Module):
     # table) — and xla elsewhere
     attention_impl: str = "auto"
     auto_pallas_min_len: int = 0
+    # fuse the ENTIRE attention sublayer (qkv proj + attention + out proj
+    # + residual [+ LN]) into one Pallas kernel when the pallas path is
+    # active and T allows full-VMEM residency (ops/pallas/attn_sublayer.py)
+    attn_sublayer_fusion: bool = True
     # "pallas" (via "auto" on TPU): fused LN+FF+residual+LN sublayer kernel
     # (ops/pallas/ffn.py); "xla": flax FeedForward + LayerNorms
     ff_impl: str = "auto"
@@ -171,6 +175,7 @@ class KeypointCompleter(nn.Module):
         src_fused = tgt_fused = cross_fused = None
         if impl == "pallas":
             zeros = jnp.zeros((B, T), self.dtype)
+            sub = self.attn_sublayer_fusion and not self.sequence_parallel
             src_fused = {
                 "mask": src_frame_mask if src_frame_mask is not None
                 else zeros,
@@ -178,6 +183,7 @@ class KeypointCompleter(nn.Module):
                 "kind": src_mask_kind if src_frame_mask is not None
                 else "all",
                 "add_keypad": src_frame_mask is not None,
+                "sublayer": sub,
             }
             tgt_fused = {
                 "mask": tgt_frame_mask if tgt_frame_mask is not None
@@ -187,9 +193,11 @@ class KeypointCompleter(nn.Module):
                 else "all",
                 "add_keypad": (self.use_tgt_key_padding
                                and tgt_frame_mask is not None),
+                "sublayer": sub,
             }
             cross_fused = {"mask": zeros, "valid": valid_mask,
-                           "kind": "all", "add_keypad": False}
+                           "kind": "all", "add_keypad": False,
+                           "sublayer": sub}
         else:
             enc_bias = _expand_bias(src_bias, B)
             if src_frame_mask is not None:

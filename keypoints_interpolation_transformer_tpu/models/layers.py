@@ -167,6 +167,44 @@ class _FFParams(nn.Module):
         return w1, b1, w2, b2
 
 
+class _MHAParams(nn.Module):
+    """q/k/v/out projection params matching MultiHeadAttention's tree —
+    lets the fused attention-SUBLAYER kernel own the identical params, so
+    checkpoints swap freely between fused and unfused attention."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        wq, bq = _DenseParams(self.dim, self.dim, name="q_proj")()
+        wk, bk = _DenseParams(self.dim, self.dim, name="k_proj")()
+        wv, bv = _DenseParams(self.dim, self.dim, name="v_proj")()
+        wo, bo = _DenseParams(self.dim, self.dim, name="out_proj")()
+        return wq, bq, wk, bk, wv, bv, wo, bo
+
+
+def _use_sublayer_kernel(fused, T) -> bool:
+    from ..ops.pallas.attn_sublayer import fused_attn_sublayer_supported
+    return (fused is not None and fused.get("sublayer", False)
+            and fused_attn_sublayer_supported(T))
+
+
+def _fused_sublayer(x, memory, mha_params, ln_params, fused, num_heads):
+    """Run one whole attention sublayer (projections + attention +
+    residual + optional LN) as a single Pallas kernel."""
+    from ..ops.pallas.attn_sublayer import fused_attn_sublayer
+    if ln_params is None:
+        zero = jnp.zeros((0,), x.dtype)
+        ln_params, post_ln = (zero, zero), False
+    else:
+        post_ln = True
+    params = (*mha_params, *ln_params)
+    return fused_attn_sublayer(
+        x, memory, params, (fused["mask"], fused.get("valid")),
+        fused.get("kind", "repeat-inc"), fused.get("add_keypad", False),
+        post_ln, num_heads)
+
+
 def resolve_ff_impl(impl: str) -> str:
     """"auto": the fused Pallas FF-sublayer kernel on TPU (the GELU
     intermediate and the residual+LayerNorm never touch HBM; RESULTS.md
@@ -192,8 +230,12 @@ class EncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, bias=None, fused=None):
-        r = x + MultiHeadAttention(self.dim, self.num_heads, self.dtype,
-                                   name="self_attn")(x, x, bias, fused)
+        if _use_sublayer_kernel(fused, x.shape[1]):
+            mha = _MHAParams(self.dim, name="self_attn")()
+            r = _fused_sublayer(x, None, mha, None, fused, self.num_heads)
+        else:
+            r = x + MultiHeadAttention(self.dim, self.num_heads, self.dtype,
+                                       name="self_attn")(x, x, bias, fused)
         if resolve_ff_impl(self.ff_impl) == "pallas":
             from ..ops.pallas.ffn import fused_ffn
             g1, be1 = _LayerNormParams(self.dim, name="norm1")()
@@ -221,13 +263,27 @@ class DecoderLayer(nn.Module):
     @nn.compact
     def __call__(self, x, memory, self_bias=None, cross_bias=None,
                  self_fused=None, cross_fused=None):
-        x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm1")(
-            x + MultiHeadAttention(self.dim, self.num_heads, self.dtype,
-                                   name="self_attn")(x, x, self_bias,
-                                                     self_fused))
-        r = x + MultiHeadAttention(self.dim, self.num_heads, self.dtype,
-                                   name="cross_attn")(x, memory, cross_bias,
-                                                      cross_fused)
+        if _use_sublayer_kernel(self_fused, x.shape[1]):
+            mha = _MHAParams(self.dim, name="self_attn")()
+            ln1 = _LayerNormParams(self.dim, name="norm1")()
+            x = _fused_sublayer(x, None, mha, ln1, self_fused,
+                                self.num_heads)
+        else:
+            x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
+                             name="norm1")(
+                x + MultiHeadAttention(self.dim, self.num_heads, self.dtype,
+                                       name="self_attn")(x, x, self_bias,
+                                                         self_fused))
+        if (_use_sublayer_kernel(cross_fused, x.shape[1])
+                and memory.shape[1] == x.shape[1]):
+            mha = _MHAParams(self.dim, name="cross_attn")()
+            r = _fused_sublayer(x, memory, mha, None, cross_fused,
+                                self.num_heads)
+        else:
+            r = x + MultiHeadAttention(self.dim, self.num_heads, self.dtype,
+                                       name="cross_attn")(x, memory,
+                                                          cross_bias,
+                                                          cross_fused)
         if resolve_ff_impl(self.ff_impl) == "pallas":
             from ..ops.pallas.ffn import fused_ffn
             g1, be1 = _LayerNormParams(self.dim, name="norm2")()

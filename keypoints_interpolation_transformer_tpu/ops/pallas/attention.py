@@ -32,9 +32,11 @@ Design notes (v5e, dh = 32; measured in RESULTS.md):
   * The (T, T) tiles live only in VMEM; with the full key range resident
     per cell (the PE caps T at 2048) a flash streaming recurrence is
     unnecessary — logits simply never touch HBM.
-  * MXU input dtype follows the ambient jax.default_matmul_precision so
-    the kernel's speed/accuracy trade matches the XLA path it replaces
-    (bf16 under DEFAULT, f32 under high/highest).
+  * MXU strategy follows the ambient jax.default_matmul_precision so the
+    kernel's speed/accuracy trade matches the XLA path it replaces: bf16
+    single-pass under DEFAULT, in-kernel hi/lo-split bf16x3 (3 native
+    passes, XLA's "high" error model — Mosaic cannot lower HIGH) under
+    HIGH, and f32 HIGHEST multi-pass under HIGHEST (see _mxu_mode).
   * The backward is a Pallas kernel too (same transposed structure): it
     recomputes the probabilities in VMEM and emits dq/dk/dv without ever
     writing the (B, H, T, T) weight tensor to HBM.  Above _BWD_PALLAS_MAX_T
@@ -107,46 +109,86 @@ def _head_slice(x, h, dh):
     return jax.lax.slice_in_dim(x, h * dh, (h + 1) * dh, axis=-1)
 
 
-def _dot(a, b, contract):
-    """In-kernel dot with an explicitly pinned precision (the ambient
-    jax.default_matmul_precision would otherwise be recorded into the
-    kernel jaxpr, and Mosaic cannot lower HIGH).  For f32 operands the
-    precision must be HIGHEST: Mosaic lowers a DEFAULT-precision f32 dot
-    as a SINGLE bf16 MXU pass (measured 1.7e-1 error vs f32 on a 256x256
-    standard-normal matmul), silently losing the accuracy the f32 path
-    exists for; HIGHEST lowers as a multi-pass product (7.6e-6).  The
-    speed trade is made upstream by casting operands to
-    _ambient_mxu_dtype — bf16 operands take the fast DEFAULT path."""
-    prec = (jax.lax.Precision.HIGHEST if a.dtype == jnp.float32
-            else jax.lax.Precision.DEFAULT)
-    return jax.lax.dot_general(a, b, (contract, ((), ())),
-                               preferred_element_type=jnp.float32,
-                               precision=prec)
+def _mxu_mode(dtype) -> str:
+    """MXU strategy matching the ambient jax.default_matmul_precision.
 
+    Mosaic cannot lower Precision.HIGH, and it lowers a DEFAULT-precision
+    f32 dot as a SINGLE bf16 MXU pass (measured 1.7e-1 error vs f32 on a
+    256x256 standard-normal matmul) — so the ambient precision cannot
+    simply be recorded into the kernel jaxpr.  Instead:
 
-def _ambient_mxu_dtype(dtype):
-    """MXU input dtype matching the ambient jax.default_matmul_precision.
-
-    XLA's DEFAULT precision runs f32 matmuls as single-pass bf16 on the
-    MXU; a Mosaic dot_general with f32 operands runs full-precision
-    multi-pass.  To keep the kernel's speed/accuracy trade identical to
-    the XLA path it replaces, f32 operands are cast to bf16 under default
-    precision and kept f32 under high/highest (bench.py gates the choice
-    by masked-frame MPJPE)."""
-    if dtype != jnp.float32:
-        return dtype
+      * bf16 operands / ambient "default"  -> "bf16": one native pass.
+      * ambient "high" (bf16x3)            -> "bf16x3": operands are
+        split in-kernel into hi+lo bf16 parts and the product assembled
+        from 3 native passes (hi@hi + hi@lo + lo@hi, f32 accumulation) —
+        XLA's own error model for Precision.HIGH, at half the MXU cost
+        of HIGHEST's 6-pass product.
+      * ambient "highest"                  -> "f32": Precision.HIGHEST
+        multi-pass (7.6e-6 on the probe above).
+    """
+    if jnp.dtype(dtype) != jnp.float32:
+        return "bf16"
     prec = getattr(jax.config, "jax_default_matmul_precision", None)
     if prec in (None, "default", "bfloat16", "fastest"):
-        return jnp.bfloat16
-    return jnp.float32
+        return "bf16"
+    if prec in ("tensorfloat32", "high", "bfloat16_3x"):
+        return "bf16x3"
+    return "f32"
 
 
-def _head_group(H, T, bq, mxu_dtype=jnp.bfloat16):
-    # f32 operands double every wide-softmax scratch tensor; halve the
-    # element budget so the T=2048 f32 forward stays inside the 16 MB
-    # scoped-VMEM limit (measured: the bf16 budget overflows by 428 KB)
-    budget = (_WIDE_ELEMS // 2 if jnp.dtype(mxu_dtype).itemsize >= 4
-              else _WIDE_ELEMS)
+def _split_hi_lo_kernel(x):
+    """In-kernel f32 -> (bf16 hi, bf16 lo).  Mosaic compiles the astype
+    round-trip literally (no excess-precision folding), so the plain form
+    is correct here — unlike XLA-land, where lax.reduce_precision is
+    required (see ops/pallas/ffn._split_hi_lo)."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _prep(x, mode):
+    """Pre-cast/split an operand once; returns a parts tuple for _dot."""
+    if mode == "bf16":
+        return (x.astype(jnp.bfloat16),)
+    if mode == "bf16x3":
+        return _split_hi_lo_kernel(x)
+    return (x,)
+
+
+def _slice_parts(parts, lo, hi, axis=-1):
+    return tuple(jax.lax.slice_in_dim(p, lo, hi, axis=axis) for p in parts)
+
+
+def _dot(a_parts, b_parts, contract, mode):
+    """In-kernel dot over pre-prepped operand parts (see _mxu_mode).
+
+    bf16x3 runs hi@hi + hi@lo + lo@hi as THREE dots here: for the
+    score/AV dots the operands change every head, so the contraction-axis
+    stacking that wins in ops/pallas/ffn (weight-stationary) would re-copy
+    the wide softmax tensor three times per head — measured 1.6x SLOWER
+    than the separate dots at the flagship shape.  Projection dots against
+    stationary weights should use the stacked form instead (see
+    ops/pallas/attn_sublayer._proj)."""
+    prec = (jax.lax.Precision.HIGHEST if mode == "f32"
+            else jax.lax.Precision.DEFAULT)
+
+    def d(a, b):
+        return jax.lax.dot_general(a, b, (contract, ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=prec)
+
+    if mode == "bf16x3":
+        (ah, al), (bh, bl) = a_parts, b_parts
+        return d(ah, bh) + d(ah, bl) + d(al, bh)
+    return d(a_parts[0], b_parts[0])
+
+
+def _head_group(H, T, bq, mode="bf16"):
+    # f32 operands double every wide-softmax scratch tensor (and bf16x3
+    # adds hi/lo bf16 copies of it); halve the element budget so the
+    # T=2048 f32 forward stays inside the 16 MB scoped-VMEM limit
+    # (measured: the bf16 budget overflows by 428 KB)
+    budget = _WIDE_ELEMS if mode == "bf16" else _WIDE_ELEMS // 2
     for hg in (8, 4, 2, 1):
         if H % hg == 0 and T * hg * bq <= budget:
             return hg
@@ -155,33 +197,33 @@ def _head_group(H, T, bq, mxu_dtype=jnp.bfloat16):
 
 def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, valid_ref, o_ref, *,
                  kind: str, add_keypad: bool, scale: float, heads: int,
-                 dh: int, bb: int, bq: int, mxu_dtype):
+                 dh: int, bb: int, bq: int, mode: str):
     T = k_ref.shape[1]
     qry_offset = pl.program_id(1) * bq
-    hg = _head_group(heads, T, bq, mxu_dtype)
+    hg = _head_group(heads, T, bq, mode)
     for b in range(bb):
-        q = q_ref[b].astype(mxu_dtype)        # (BQ, D)
-        k = k_ref[b].astype(mxu_dtype)        # (T, D)
-        v = v_ref[b].astype(mxu_dtype)
+        q = _prep(q_ref[b], mode)             # (BQ, D) parts
+        k = _prep(k_ref[b], mode)             # (T, D) parts
+        v = _prep(v_ref[b], mode)
+        rows = q_ref.shape[1]
         # key-major bias, built ONCE per row; identical for every head
         bias = _bias_terms_T(mask_ref[b, 0], valid_ref[b, 0], T, kind,
-                             add_keypad, qry_offset, q.shape[0])
+                             add_keypad, qry_offset, rows)
         for g in range(0, heads, hg):
             sts = []
             for h in range(g, g + hg):
-                qh = _head_slice(q, h, dh)    # (BQ, dh)
-                kh = _head_slice(k, h, dh)    # (T, dh)
-                sts.append(_dot(kh, qh, ((1,), (1,))) * scale + bias)
+                qh = _slice_parts(q, h * dh, (h + 1) * dh)   # (BQ, dh)
+                kh = _slice_parts(k, h * dh, (h + 1) * dh)   # (T, dh)
+                sts.append(_dot(kh, qh, ((1,), (1,)), mode) * scale + bias)
             wide = sts[0] if hg == 1 else jnp.concatenate(sts, axis=1)
             wide = wide - jnp.max(wide, axis=0, keepdims=True)
             e = jnp.exp(wide)
-            w = (e / jnp.sum(e, axis=0, keepdims=True)).astype(mxu_dtype)
+            w = _prep(e * (1.0 / jnp.sum(e, axis=0, keepdims=True)), mode)
             for i, h in enumerate(range(g, g + hg)):
-                wh = jax.lax.slice_in_dim(w, i * q.shape[0],
-                                          (i + 1) * q.shape[0], axis=1)
-                vh = _head_slice(v, h, dh)
+                wh = _slice_parts(w, i * rows, (i + 1) * rows)
+                vh = _slice_parts(v, h * dh, (h + 1) * dh)
                 # (BQ, dh), axis-0 contraction
-                out = _dot(wh, vh, ((0,), (0,)))
+                out = _dot(wh, vh, ((0,), (0,)), mode)
                 o_ref[b, :, h * dh:(h + 1) * dh] = out.astype(o_ref.dtype)
 
 
@@ -209,7 +251,7 @@ def _fused_fwd(q, k, v, mask, valid, kind, add_keypad):
     kf = k.reshape(B, T, D)
     vf = v.reshape(B, T, D)
 
-    mxu_dtype = _ambient_mxu_dtype(q.dtype)
+    mode = _mxu_mode(q.dtype)
     bq = min(Q_BLOCK if T <= 1024 else Q_BLOCK // 4, T)
     if T % bq:  # pad queries to a block multiple; extra rows are dropped
         pad = bq - T % bq
@@ -230,7 +272,7 @@ def _fused_fwd(q, k, v, mask, valid, kind, add_keypad):
     out = pl.pallas_call(
         functools.partial(_attn_kernel, kind=kind, add_keypad=add_keypad,
                           scale=scale, heads=H, dh=dh, bb=bb, bq=bq,
-                          mxu_dtype=mxu_dtype),
+                          mode=mode),
         grid=grid,
         in_specs=[q_spec, kv_spec, kv_spec, vec_spec, vec_spec],
         out_specs=q_spec,
@@ -243,36 +285,36 @@ def _fused_fwd(q, k, v, mask, valid, kind, add_keypad):
 
 def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, mask_ref, valid_ref,
                      dq_ref, dk_ref, dv_ref, *, kind: str, add_keypad: bool,
-                     scale: float, heads: int, dh: int, bb: int, mxu_dtype):
+                     scale: float, heads: int, dh: int, bb: int, mode: str):
     T = q_ref.shape[1]
     for b in range(bb):
-        q = q_ref[b].astype(mxu_dtype)        # (T, D)
-        k = k_ref[b].astype(mxu_dtype)
-        v = v_ref[b].astype(mxu_dtype)
-        g = g_ref[b].astype(mxu_dtype)
+        q = _prep(q_ref[b], mode)             # (T, D) parts
+        k = _prep(k_ref[b], mode)
+        v = _prep(v_ref[b], mode)
+        g = _prep(g_ref[b], mode)
         bias = _bias_terms_T(mask_ref[b, 0], valid_ref[b, 0], T, kind,
                              add_keypad)
         for h in range(heads):
             sl = slice(h * dh, (h + 1) * dh)
-            qh = _head_slice(q, h, dh)
-            kh = _head_slice(k, h, dh)
-            vh = _head_slice(v, h, dh)
-            gh = _head_slice(g, h, dh)
+            qh = _slice_parts(q, h * dh, (h + 1) * dh)
+            kh = _slice_parts(k, h * dh, (h + 1) * dh)
+            vh = _slice_parts(v, h * dh, (h + 1) * dh)
+            gh = _slice_parts(g, h * dh, (h + 1) * dh)
             # key-major throughout: w_T is softmax over axis 0
-            st = _dot(kh, qh, ((1,), (1,))) * scale + bias
+            st = _dot(kh, qh, ((1,), (1,)), mode) * scale + bias
             st = st - jnp.max(st, axis=0, keepdims=True)
             e = jnp.exp(st)
-            wt = e / jnp.sum(e, axis=0, keepdims=True)     # (T_k, T_q) f32
-            wl = wt.astype(mxu_dtype)
+            wt = e * (1.0 / jnp.sum(e, axis=0, keepdims=True))  # (Tk,Tq) f32
+            wl = _prep(wt, mode)
             # dv = w^T g                    (T_k, dh)
-            dv = _dot(wl, gh, ((1,), (0,)))
+            dv = _dot(wl, gh, ((1,), (0,)), mode)
             # gw_T = v g^T                  (T_k, T_q)
-            gw = _dot(vh, gh, ((1,), (1,)))
+            gw = _dot(vh, gh, ((1,), (1,)), mode)
             # dl_T = w * (gw - colsum(gw * w)) * scale
             tmp = gw - jnp.sum(gw * wt, axis=0, keepdims=True)
-            dl = ((wt * tmp) * scale).astype(mxu_dtype)    # (T_k, T_q)
-            dq = _dot(dl, kh, ((0,), (0,)))
-            dk = _dot(dl, qh, ((1,), (0,)))
+            dl = _prep((wt * tmp) * scale, mode)           # (T_k, T_q)
+            dq = _dot(dl, kh, ((0,), (0,)), mode)
+            dk = _dot(dl, qh, ((1,), (0,)), mode)
             dq_ref[b, :, sl] = dq.astype(dq_ref.dtype)
             dk_ref[b, :, sl] = dk.astype(dk_ref.dtype)
             dv_ref[b, :, sl] = dv.astype(dv_ref.dtype)
@@ -297,8 +339,7 @@ def _fused_bwd_pallas(q, k, v, g, mask, valid, kind, add_keypad):
     dq, dk, dv = pl.pallas_call(
         functools.partial(_attn_bwd_kernel, kind=kind,
                           add_keypad=add_keypad, scale=scale, heads=H,
-                          dh=dh, bb=bb,
-                          mxu_dtype=_ambient_mxu_dtype(q.dtype)),
+                          dh=dh, bb=bb, mode=_mxu_mode(q.dtype)),
         grid=(B // bb,),
         in_specs=[spec, spec, spec, spec, vec_spec, vec_spec],
         out_specs=(spec, spec, spec),
@@ -342,10 +383,10 @@ def _vjp_bwd(kind, add_keypad, res, g):
     q, k, v, mask, valid = res
     T = q.shape[1]
     use_pallas = T <= _BWD_PALLAS_MAX_T
-    # measured (RESULTS.md): under f32 high/highest MXU passes, XLA's
-    # batched f32 backward wins at short T (0.83x at T=128); the pallas
-    # backward wins everywhere under bf16 (1.5-2.9x)
-    if _ambient_mxu_dtype(q.dtype) == jnp.float32 and T < 256:
+    # measured (RESULTS.md): under f32-HIGHEST MXU passes, XLA's batched
+    # f32 backward wins at short T (0.83x at T=128); the pallas backward
+    # wins everywhere under bf16 (1.5-2.9x) and bf16x3 (in-kernel 3-pass)
+    if _mxu_mode(q.dtype) == "f32" and T < 256:
         use_pallas = False
     if use_pallas:
         dq, dk, dv = _fused_bwd_pallas(q, k, v, g, mask, valid, kind,

@@ -58,17 +58,17 @@ def test_batch_block_budget_scales_with_width():
     assert _batch_block(1, 2048, 4096, 4) == 1
 
 
-def test_ambient_precision_selects_mxu_dtype():
+def test_ambient_precision_selects_mxu_mode():
     from keypoints_interpolation_transformer_tpu.ops.pallas.attention \
-        import _ambient_mxu_dtype
+        import _mxu_mode
 
-    assert _ambient_mxu_dtype(jnp.bfloat16) == jnp.bfloat16
+    assert _mxu_mode(jnp.bfloat16) == "bf16"
     with jax.default_matmul_precision("highest"):
-        assert _ambient_mxu_dtype(jnp.float32) == jnp.float32
+        assert _mxu_mode(jnp.float32) == "f32"
     with jax.default_matmul_precision("high"):
-        assert _ambient_mxu_dtype(jnp.float32) == jnp.float32
+        assert _mxu_mode(jnp.float32) == "bf16x3"
     with jax.default_matmul_precision("default"):
-        assert _ambient_mxu_dtype(jnp.float32) == jnp.bfloat16
+        assert _mxu_mode(jnp.float32) == "bf16"
 
 
 def test_fused_attention_default_precision_tracks_bf16(rng):
@@ -365,3 +365,104 @@ def test_ff_impl_auto_resolution():
     with mock.patch.object(mc, "_attention_platform", return_value="cpu"):
         assert resolve_ff_impl("auto") == "xla"
         assert resolve_ff_impl("pallas") == "pallas"
+
+
+def test_fused_attention_high_precision_bf16x3(rng):
+    """Under ambient "high" the kernel emulates bf16x3 with in-kernel
+    hi/lo splits (Mosaic cannot lower Precision.HIGH); parity vs the f32
+    oracle holds at bf16x3 tolerance, much tighter than single-pass
+    bf16."""
+    q, k, v = _qkv(rng)
+    mask = jnp.asarray((rng.random((2, 32)) < 0.3).astype(np.float32))
+    valid = jnp.ones((2, 32), jnp.float32)
+    want = xla_attention(q, k, v, mask, valid, "repeat-inc", True)
+    with pltpu.force_tpu_interpret_mode(), \
+            jax.default_matmul_precision("high"):
+        got = fused_attention(q, k, v, mask, valid, "repeat-inc", True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-3)
+
+
+def _sublayer_args(rng, B=2, T=32, D=64, post_ln=False):
+    x = jnp.asarray(rng.normal(size=(B, T, D)).astype(np.float32))
+    mem = jnp.asarray(rng.normal(size=(B, T, D)).astype(np.float32))
+    ws = [jnp.asarray((rng.normal(size=(D, D)) * 0.1).astype(np.float32))
+          for _ in range(4)]
+    bs = [jnp.asarray((rng.normal(size=(D,)) * 0.05).astype(np.float32))
+          for _ in range(4)]
+    if post_ln:
+        ln = (jnp.asarray(1 + 0.1 * rng.normal(size=(D,)).astype(
+                  np.float32)),
+              jnp.asarray(0.1 * rng.normal(size=(D,)).astype(np.float32)))
+    else:
+        ln = (jnp.zeros((0,), jnp.float32), jnp.zeros((0,), jnp.float32))
+    params = (ws[0], bs[0], ws[1], bs[1], ws[2], bs[2], ws[3], bs[3], *ln)
+    mask = jnp.asarray((rng.random((B, T)) < 0.3).astype(np.float32))
+    valid = jnp.asarray((np.arange(T)[None, :] <
+                         np.array([[T], [T - 8]])).astype(np.float32))
+    return x, mem, params, mask, valid
+
+
+@pytest.mark.parametrize("self_attn,post_ln", [(True, False), (True, True),
+                                               (False, False)])
+def test_fused_attn_sublayer_matches_reference(rng, self_attn, post_ln):
+    from keypoints_interpolation_transformer_tpu.ops.pallas.attn_sublayer \
+        import attn_sublayer_reference, fused_attn_sublayer
+
+    x, mem, params, mask, valid = _sublayer_args(rng, post_ln=post_ln)
+    memory = None if self_attn else mem
+    kind = "repeat-inc" if self_attn else "all"
+    with pltpu.force_tpu_interpret_mode(), \
+            jax.default_matmul_precision("highest"):
+        got = fused_attn_sublayer(x, memory, params, (mask, valid), kind,
+                                  self_attn, post_ln, 4)
+    want = attn_sublayer_reference(x, memory, params, mask, valid, kind,
+                                   self_attn, post_ln, 4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_fused_attn_sublayer_grads_follow_reference(rng):
+    from keypoints_interpolation_transformer_tpu.ops.pallas.attn_sublayer \
+        import attn_sublayer_reference, fused_attn_sublayer
+
+    x, _, params, mask, valid = _sublayer_args(rng)
+
+    def loss_fused(x, params):
+        with pltpu.force_tpu_interpret_mode():
+            y = fused_attn_sublayer(x, None, params, (mask, valid),
+                                    "repeat-inc", True, False, 4)
+        return jnp.sum(y * y)
+
+    def loss_ref(x, params):
+        y = attn_sublayer_reference(x, None, params, mask, valid,
+                                    "repeat-inc", True, False, 4)
+        return jnp.sum(y * y)
+
+    with jax.default_matmul_precision("highest"):
+        gx, gp = jax.grad(loss_fused, argnums=(0, 1))(x, params)
+        wx, wp = jax.grad(loss_ref, argnums=(0, 1))(x, params)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(wx), rtol=2e-4,
+                               atol=2e-4)
+    for a, b in zip(gp, wp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=2e-4)
+
+
+def test_model_sublayer_fusion_matches_unfused(rng):
+    """The full model with attn_sublayer_fusion on equals the per-op
+    pallas path (both interpret mode, f32-highest)."""
+    B, T = 2, 16
+    kp = jnp.asarray(rng.normal(size=(B, T, 54, 2)).astype(np.float32))
+    miss = jnp.asarray((rng.random((B, T)) < 0.3).astype(np.float32))
+
+    def run(sub):
+        model = KeypointCompleter(hidden_dim=32, num_layers=1, num_heads=4,
+                                  attention_impl="pallas",
+                                  attn_sublayer_fusion=sub)
+        with pltpu.force_tpu_interpret_mode(), \
+                jax.default_matmul_precision("highest"):
+            params = model.init(jax.random.key(0), kp, kp)
+            return model.apply(params, kp, kp, src_frame_mask=miss,
+                               tgt_frame_mask=miss)
+
+    np.testing.assert_allclose(np.asarray(run(True)),
+                               np.asarray(run(False)), atol=2e-5)
