@@ -79,6 +79,15 @@ def _add_common(p: argparse.ArgumentParser):
                    choices=["xla", "pallas", "auto"],
                    help="fused LN+FF+residual+LN sublayer kernel "
                         "(ops/pallas/ffn.py); auto = pallas on TPU")
+    p.add_argument("--attn_sublayer_fusion", type=str, default="auto",
+                   choices=["auto", "on", "off"],
+                   help="whole attention-sublayer kernel (ops/pallas/"
+                        "attn_sublayer.py); auto = on for inference, "
+                        "off for training")
+    p.add_argument("--pointwise_impl", type=str, default="auto",
+                   choices=["xla", "pallas", "auto"],
+                   help="fused pre/post pointwise chains (ops/pallas/"
+                        "pointwise.py); auto = pallas on TPU inference")
     p.add_argument("--scan_layers", action="store_true")
     p.add_argument("--remat", action="store_true")
     p.add_argument("--sequence_parallel", action="store_true")
@@ -96,6 +105,8 @@ def _cfg_from_args(a, regime: str) -> Config:
                           matmul_precision=a.precision,
                           attention_impl=a.attention_impl,
                           ff_impl=a.ff_impl,
+                          attn_sublayer_fusion=a.attn_sublayer_fusion,
+                          pointwise_impl=a.pointwise_impl,
                           scan_layers=a.scan_layers, remat=a.remat,
                           sequence_parallel=a.sequence_parallel),
         data=DataConfig(dataset_name=name,

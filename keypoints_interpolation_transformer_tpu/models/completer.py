@@ -30,8 +30,8 @@ from flax import linen as nn
 
 from ..data.keypoints import FRAME_FEATURES, NUM_COORDS, NUM_KEYPOINTS
 from ..ops import masks as mask_ops
-from .layers import (SwiGLU, TransformerCore, sinusoidal_positional_encoding,
-                     token_norm)
+from .layers import (SwiGLU, TransformerCore, _DenseParams, _SwiGLUParams,
+                     sinusoidal_positional_encoding, token_norm)
 
 
 def _attention_platform() -> str:
@@ -43,6 +43,14 @@ def _attention_platform() -> str:
         return dev
     platform = getattr(dev, "platform", None)
     return platform if platform is not None else jax.default_backend()
+
+
+def resolve_pointwise_impl(impl: str) -> str:
+    """"auto": the fused pre/post pointwise-chain kernels on TPU
+    (ops/pallas/pointwise.py), plain XLA elsewhere."""
+    if impl != "auto":
+        return impl
+    return "pallas" if _attention_platform() == "tpu" else "xla"
 
 
 def resolve_attention_impl(impl: str, T: int, min_len: int = 0) -> str:
@@ -101,6 +109,10 @@ class KeypointCompleter(nn.Module):
     # "pallas" (via "auto" on TPU): fused LN+FF+residual+LN sublayer kernel
     # (ops/pallas/ffn.py); "xla": flax FeedForward + LayerNorms
     ff_impl: str = "auto"
+    # fused pre/post pointwise chains (token_norm + PE + SwiGLU in, SwiGLU
+    # + residual norm + swish + head out) as Pallas kernels
+    # (ops/pallas/pointwise.py); "auto" = pallas on TPU
+    pointwise_impl: str = "auto"
     scan_layers: bool = False   # lax.scan over layers (fast compile)
     remat: bool = False         # per-layer rematerialization
     # sequence parallelism: constrain the token axis of the embedding
@@ -135,9 +147,6 @@ class KeypointCompleter(nn.Module):
         filled_emb = nn.Dense(self.hidden_dim, dtype=self.dtype,
                               name="filled_embedding")(f)
 
-        input_norm = token_norm(input_emb)
-        filled_norm = token_norm(filled_emb)
-
         pe = sinusoidal_positional_encoding(
             self.pe_max_len, self.hidden_dim, self.dtype)[:T]
         learned_in = self.param(
@@ -147,17 +156,32 @@ class KeypointCompleter(nn.Module):
             "learned_filled_pos", nn.initializers.uniform(scale=1.0),
             (1, 1, self.hidden_dim), self.dtype)
 
-        if self.pe_residual:  # Cycle keeps a pre-PE residual (model.py:283)
-            input_pos = input_norm + (input_norm + pe) + learned_in
-            filled_pos = filled_norm + (filled_norm + pe) + learned_fill
-        else:                 # A1 (model.py:128-132)
-            input_pos = (input_norm + pe) + learned_in
-            filled_pos = (filled_norm + pe) + learned_fill
+        use_pw = (resolve_pointwise_impl(self.pointwise_impl) == "pallas"
+                  and self.hidden_dim % 128 == 0 and T % 8 == 0)
+        if use_pw:
+            from ..ops.pallas.pointwise import fused_pre_stream
+            sw_in = _SwiGLUParams(self.hidden_dim,
+                                  name="swiglu_input_prev")()
+            sw_fill = _SwiGLUParams(self.hidden_dim,
+                                    name="swiglu_filled_prev")()
+            src = fused_pre_stream(input_emb, pe + learned_in[0],
+                                   *sw_in, self.pe_residual)
+            tgt = fused_pre_stream(filled_emb, pe + learned_fill[0],
+                                   *sw_fill, self.pe_residual)
+        else:
+            input_norm = token_norm(input_emb)
+            filled_norm = token_norm(filled_emb)
+            if self.pe_residual:  # Cycle pre-PE residual (model.py:283)
+                input_pos = input_norm + (input_norm + pe) + learned_in
+                filled_pos = filled_norm + (filled_norm + pe) + learned_fill
+            else:                 # A1 (model.py:128-132)
+                input_pos = (input_norm + pe) + learned_in
+                filled_pos = (filled_norm + pe) + learned_fill
 
-        src = SwiGLU(self.hidden_dim, self.dtype,
-                     name="swiglu_input_prev")(input_pos)
-        tgt = SwiGLU(self.hidden_dim, self.dtype,
-                     name="swiglu_filled_prev")(filled_pos)
+            src = SwiGLU(self.hidden_dim, self.dtype,
+                         name="swiglu_input_prev")(input_pos)
+            tgt = SwiGLU(self.hidden_dim, self.dtype,
+                         name="swiglu_filled_prev")(filled_pos)
 
         if self.sequence_parallel:
             from jax.sharding import PartitionSpec as _P
@@ -223,12 +247,20 @@ class KeypointCompleter(nn.Module):
                 src, tgt, enc_bias, dec_bias, cross_bias,
                 src_fused, tgt_fused, cross_fused)
 
-        decoded = SwiGLU(self.hidden_dim, self.dtype,
-                         name="swiglu_decoded")(decoded)
-        decoded = token_norm(decoded + filled_emb)
-        decoded = decoded * jax.nn.sigmoid(decoded)  # swish self-gate
-        out = nn.Dense(self.input_size, dtype=self.dtype,
-                       name="fc_final")(decoded)
+        if use_pw:
+            from ..ops.pallas.pointwise import fused_post_head
+            sw_dec = _SwiGLUParams(self.hidden_dim,
+                                   name="swiglu_decoded")()
+            wh, bh = _DenseParams(self.hidden_dim, self.input_size,
+                                  name="fc_final")()
+            out = fused_post_head(decoded, filled_emb, *sw_dec, wh, bh)
+        else:
+            decoded = SwiGLU(self.hidden_dim, self.dtype,
+                             name="swiglu_decoded")(decoded)
+            decoded = token_norm(decoded + filled_emb)
+            decoded = decoded * jax.nn.sigmoid(decoded)  # swish self-gate
+            out = nn.Dense(self.input_size, dtype=self.dtype,
+                           name="fc_final")(decoded)
         return out.reshape(B, T, NUM_KEYPOINTS, NUM_COORDS)
 
 

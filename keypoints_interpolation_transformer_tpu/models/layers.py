@@ -167,6 +167,20 @@ class _FFParams(nn.Module):
         return w1, b1, w2, b2
 
 
+class _SwiGLUParams(nn.Module):
+    """fc1/fc2/fc3 params matching SwiGLU's tree — lets the fused
+    pointwise kernels (ops/pallas/pointwise.py) own identical params."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        w1, b1 = _DenseParams(self.dim, self.dim, name="fc1")()
+        w2, b2 = _DenseParams(self.dim, self.dim, name="fc2")()
+        w3, b3 = _DenseParams(self.dim, self.dim, name="fc3")()
+        return w1, b1, w2, b2, w3, b3
+
+
 class _MHAParams(nn.Module):
     """q/k/v/out projection params matching MultiHeadAttention's tree —
     lets the fused attention-SUBLAYER kernel own the identical params, so

@@ -54,6 +54,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG = -1e9
+LOG2E = 1.4426950408889634  # log2(e): exp(x) == exp2(x * LOG2E)
 
 # query-block size: (T, BQ) transposed score tiles stay in VMEM at T = 2048
 Q_BLOCK = 512
@@ -86,8 +87,13 @@ def _bias_terms(mask_row, valid_row, T, kind, add_keypad, row_offset=0,
 
 
 def _bias_terms_T(mask_row, valid_row, T, kind, add_keypad, qry_offset=0,
-                  cols=None):
-    """(T, cols) additive bias, key-major (transposed kernel layout)."""
+                  cols=None, mul=1.0):
+    """(T, cols) additive bias, key-major (transposed kernel layout).
+
+    ``mul`` scales the FINITE keypad term only — used by the exp2
+    softmax (logits pre-multiplied by log2(e) so the VPU evaluates
+    exp2 instead of exp; the -1e9 blockers stay unscaled, they
+    saturate either way)."""
     cols = T if cols is None else cols
     key_i = jax.lax.broadcasted_iota(jnp.int32, (T, cols), 0)
     qry_i = jax.lax.broadcasted_iota(jnp.int32, (T, cols), 1) + qry_offset
@@ -99,7 +105,7 @@ def _bias_terms_T(mask_row, valid_row, T, kind, add_keypad, qry_offset=0,
     elif kind != "all":
         raise ValueError(f"unsupported fused mask kind {kind!r}")
     if add_keypad:
-        bias = bias + mask_key
+        bias = bias + mask_key * mul
     if valid_row is not None:
         bias = bias + jnp.where(valid_row[:, None] > 0, 0.0, NEG)
     return bias
@@ -159,6 +165,46 @@ def _slice_parts(parts, lo, hi, axis=-1):
     return tuple(jax.lax.slice_in_dim(p, lo, hi, axis=axis) for p in parts)
 
 
+import os as _os
+
+# bf16x3 probability handling for the AV contraction: "0" (default)
+# feeds the softmax probabilities to the MXU as single bf16; "1" keeps
+# the full hi/lo split (exactly XLA-high's error model, ~5% slower at
+# the flagship shape).  Measured end-to-end (bench.py, 256/6/8 B=256
+# T=128): bf16 probs 8.7e-5 masked-MPJPE vs f32 (inside the 1e-4 bar),
+# full split 1.1e-5.
+_PROB_SPLIT = _os.environ.get("KIT_ATTN_PROB_SPLIT", "0") == "1"
+
+
+def _prob_parts(w, mode):
+    """Prep the softmax probabilities for the AV contraction.
+
+    Under bf16x3 (unless KIT_ATTN_PROB_SPLIT=1) the probabilities are
+    fed to the MXU as SINGLE bf16 (one cast pass) instead of a hi/lo
+    split (three full passes over the wide tensor + double per-head
+    slicing): they live in [0, 1], so the extra quantization is a ~2^-9
+    relative perturbation of weights that sum to 1 — measured
+    end-to-end masked-MPJPE 8.7e-5 vs f32 (inside the 1e-4 bench gate,
+    RESULTS.md), while the value path keeps full split precision."""
+    if mode == "bf16x3" and not _PROB_SPLIT:
+        return (w.astype(jnp.bfloat16),)
+    return _prep(w, mode)
+
+
+def _prob_dot(w_parts, v_parts, contract, mode):
+    """AV dot with bf16 probabilities against split-precision values."""
+    if mode == "bf16x3" and len(w_parts) == 1:
+        (wb,), (vh_, vl_) = w_parts, v_parts
+
+        def d(a, b):
+            return jax.lax.dot_general(a, b, (contract, ((), ())),
+                                       preferred_element_type=jnp.float32,
+                                       precision=jax.lax.Precision.DEFAULT)
+
+        return d(wb, vh_) + d(wb, vl_)
+    return _dot(w_parts, v_parts, contract, mode)
+
+
 def _dot(a_parts, b_parts, contract, mode):
     """In-kernel dot over pre-prepped operand parts (see _mxu_mode).
 
@@ -202,28 +248,32 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, valid_ref, o_ref, *,
     qry_offset = pl.program_id(1) * bq
     hg = _head_group(heads, T, bq, mode)
     for b in range(bb):
-        q = _prep(q_ref[b], mode)             # (BQ, D) parts
+        # fold scale AND log2(e) into q once per row block — the score
+        # tiles then need no per-head scaling, and the softmax runs as
+        # exp2 (log2-domain logits), the VPU-native exponential
+        q = _prep(q_ref[b].astype(jnp.float32) * (scale * LOG2E), mode)
         k = _prep(k_ref[b], mode)             # (T, D) parts
         v = _prep(v_ref[b], mode)
         rows = q_ref.shape[1]
         # key-major bias, built ONCE per row; identical for every head
         bias = _bias_terms_T(mask_ref[b, 0], valid_ref[b, 0], T, kind,
-                             add_keypad, qry_offset, rows)
+                             add_keypad, qry_offset, rows, mul=LOG2E)
         for g in range(0, heads, hg):
             sts = []
             for h in range(g, g + hg):
                 qh = _slice_parts(q, h * dh, (h + 1) * dh)   # (BQ, dh)
                 kh = _slice_parts(k, h * dh, (h + 1) * dh)   # (T, dh)
-                sts.append(_dot(kh, qh, ((1,), (1,)), mode) * scale + bias)
+                sts.append(_dot(kh, qh, ((1,), (1,)), mode) + bias)
             wide = sts[0] if hg == 1 else jnp.concatenate(sts, axis=1)
             wide = wide - jnp.max(wide, axis=0, keepdims=True)
-            e = jnp.exp(wide)
-            w = _prep(e * (1.0 / jnp.sum(e, axis=0, keepdims=True)), mode)
+            e = jnp.exp2(wide)
+            w = _prob_parts(e * (1.0 / jnp.sum(e, axis=0, keepdims=True)),
+                            mode)
             for i, h in enumerate(range(g, g + hg)):
                 wh = _slice_parts(w, i * rows, (i + 1) * rows)
                 vh = _slice_parts(v, h * dh, (h + 1) * dh)
                 # (BQ, dh), axis-0 contraction
-                out = _dot(wh, vh, ((0,), (0,)), mode)
+                out = _prob_dot(wh, vh, ((0,), (0,)), mode)
                 o_ref[b, :, h * dh:(h + 1) * dh] = out.astype(o_ref.dtype)
 
 

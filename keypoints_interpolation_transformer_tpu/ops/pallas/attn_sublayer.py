@@ -50,7 +50,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .attention import (_bias_terms_T, _dot, _head_group, _mxu_mode, _prep,
+from .attention import (LOG2E as _LOG2E, _bias_terms_T, _dot, _head_group,
+                        _mxu_mode, _prep, _prob_dot, _prob_parts,
                         _slice_parts, _xla_attention)
 
 LN_EPS = 1e-5
@@ -85,9 +86,14 @@ def _proj(x_parts, w_parts, b, mode):
 
 def _attn_core(q, k, v, bias, heads, dh, mode):
     """(T, D) f32 q/k/v -> (T, D) f32 attention output, transposed-score
-    wide-softmax layout (see ops/pallas/attention._attn_kernel)."""
+    wide-softmax layout (see ops/pallas/attention._attn_kernel).
+
+    The caller has already folded 1/sqrt(dh) * log2(e) into the
+    q-projection weights (free, outside the kernel) and log2(e) into the
+    bias's finite terms, so the scores are log2-domain and the softmax
+    runs as exp2 — the VPU-native exponential — with no per-head
+    scaling pass."""
     T = q.shape[0]
-    scale = 1.0 / math.sqrt(dh)
     hg = _head_group(heads, T, T, mode)
     qp, kp, vp = _prep(q, mode), _prep(k, mode), _prep(v, mode)
     outs = []
@@ -96,15 +102,16 @@ def _attn_core(q, k, v, bias, heads, dh, mode):
         for h in range(g, g + hg):
             qh = _slice_parts(qp, h * dh, (h + 1) * dh)
             kh = _slice_parts(kp, h * dh, (h + 1) * dh)
-            sts.append(_dot(kh, qh, ((1,), (1,)), mode) * scale + bias)
+            sts.append(_dot(kh, qh, ((1,), (1,)), mode) + bias)
         wide = sts[0] if hg == 1 else jnp.concatenate(sts, axis=1)
         wide = wide - jnp.max(wide, axis=0, keepdims=True)
-        e = jnp.exp(wide)
-        w = _prep(e * (1.0 / jnp.sum(e, axis=0, keepdims=True)), mode)
+        e = jnp.exp2(wide)
+        w = _prob_parts(e * (1.0 / jnp.sum(e, axis=0, keepdims=True)),
+                        mode)
         for i, h in enumerate(range(g, g + hg)):
             wh = _slice_parts(w, i * T, (i + 1) * T)
             vh = _slice_parts(vp, h * dh, (h + 1) * dh)
-            outs.append(_dot(wh, vh, ((0,), (0,)), mode))
+            outs.append(_prob_dot(wh, vh, ((0,), (0,)), mode))
     return jnp.concatenate(outs, axis=1)
 
 
@@ -132,7 +139,7 @@ def _sublayer_kernel(x_ref, mem_ref, mask_ref, valid_ref, *rest, kind,
         k = _proj(mp, wk, bk_, mode)
         v = _proj(mp, wv, bv_, mode)
         bias = _bias_terms_T(mask_ref[b, 0], valid_ref[b, 0], T, kind,
-                             add_keypad, 0, T)
+                             add_keypad, 0, T, mul=_LOG2E)
         a = _attn_core(q, k, v, bias, heads, dh, mode)
         r = x + _proj(_prep(a, mode), wo, bo_, mode)
         if post_ln:
@@ -162,6 +169,12 @@ def _fwd_pallas(x, memory, params, mask, valid, kind, add_keypad, post_ln,
     wq, bq_, wk, bk_, wv, bv_, wo, bo_, ln_scale, ln_bias = params
     B, T, D = x.shape
     dh = D // heads
+    # fold 1/sqrt(dh) * log2(e) into the q projection — free (the scaled
+    # weights are computed once outside the kernel), and the softmax then
+    # runs as exp2 on log2-domain scores (see _attn_core)
+    qscale = _LOG2E / math.sqrt(dh)
+    wq = wq * qscale
+    bq_ = bq_ * qscale
     if valid is None:
         valid = jnp.ones((B, T), jnp.float32)
     mode = _mxu_mode(x.dtype)

@@ -261,7 +261,7 @@ def train(cfg: Config, train_ds: Optional[KeypointDataset] = None,
     key = jax.random.key(cfg.train.seed)
     key, k_init = jax.random.split(key)
 
-    model = build_model(cfg.model, variant)
+    model = build_model(cfg.model, variant, for_training=True)
     params = _init_params(model, cfg, k_init)
 
     # -- regime-specific wiring -------------------------------------------
@@ -270,7 +270,7 @@ def train(cfg: Config, train_ds: Optional[KeypointDataset] = None,
         if not cfg.train.upload_model:
             raise ValueError("a2 needs train.upload_model (the frozen "
                              "first model's checkpoint)")
-        first_model = build_model(cfg.model, "plain")
+        first_model = build_model(cfg.model, "plain", for_training=True)
         first_params = _load_params_any(cfg.train.upload_model)
     if regime == "a4":
         if cfg.train.upload_general_model:

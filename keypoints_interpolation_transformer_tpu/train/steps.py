@@ -37,27 +37,47 @@ from ..transforms.corruption import add_sos, put_missing_frames, \
 from .state import apply_gradients
 
 
-def build_model(model_cfg, variant: Optional[str] = None):
+def build_model(model_cfg, variant: Optional[str] = None, *,
+                for_training: bool = False):
+    """Construct the configured model.
+
+    ``for_training`` resolves the "auto" fusion knobs for the grad path:
+    the whole-sublayer fusion kernels (attn_sublayer / ffn / pointwise)
+    backward via an XLA recompute, so under jax.grad their fused forward
+    is paid twice — measured net slower at bf16x3 (RESULTS.md).  Training
+    therefore defaults to the per-op pallas attention (which has a native
+    fused Pallas backward) with XLA FF/pointwise; explicit "on"/"pallas"
+    settings still win.
+    """
     v = variant or model_cfg.variant
     dtype = jnp.dtype(model_cfg.compute_dtype)
     impl = getattr(model_cfg, "attention_impl", "xla")
     ff_impl = getattr(model_cfg, "ff_impl", "xla")
+    pw_impl = getattr(model_cfg, "pointwise_impl", "auto")
+    sub = getattr(model_cfg, "attn_sublayer_fusion", "auto")
     scan = getattr(model_cfg, "scan_layers", False)
     remat = getattr(model_cfg, "remat", False)
     sp = getattr(model_cfg, "sequence_parallel", False)
+    if for_training:
+        ff_impl = "xla" if ff_impl == "auto" else ff_impl
+        pw_impl = "xla" if pw_impl == "auto" else pw_impl
+        sub_flag = sub == "on"
+    else:
+        sub_flag = sub != "off"
+    fused_kw = dict(attn_sublayer_fusion=sub_flag, pointwise_impl=pw_impl)
     if v == "plain":
         return KeypointCompleter(
             hidden_dim=model_cfg.hidden_dim, num_layers=model_cfg.num_layers,
             num_heads=model_cfg.num_heads, input_size=model_cfg.input_size,
             ff_dim=model_cfg.ff_dim, dtype=dtype, attention_impl=impl,
             ff_impl=ff_impl, scan_layers=scan, remat=remat,
-            sequence_parallel=sp)
+            sequence_parallel=sp, **fused_kw)
     if v == "cycle":
         return keypoint_completer_cycle(
             model_cfg.hidden_dim, model_cfg.num_layers, model_cfg.num_heads,
             input_size=model_cfg.input_size, ff_dim=model_cfg.ff_dim,
             dtype=dtype, attention_impl=impl, ff_impl=ff_impl,
-            scan_layers=scan, remat=remat, sequence_parallel=sp)
+            scan_layers=scan, remat=remat, sequence_parallel=sp, **fused_kw)
     if v == "embedding":
         return Embedding(hidden_dim=model_cfg.hidden_dim,
                          input_size=model_cfg.input_size, dtype=dtype)

@@ -30,8 +30,19 @@ class ModelConfig:
     # shape, RESULTS.md), xla elsewhere; "xla" | "pallas" force a path
     attention_impl: str = "auto"
     # fused FF-sublayer kernel (LN+FF+residual+LN in one pass): "auto" =
-    # pallas on TPU, xla elsewhere
+    # pallas on TPU for inference, xla for training (the kernel's backward
+    # is an XLA recompute, so under grad the fused forward is paid twice —
+    # measured net loss at bf16x3); "xla" | "pallas" force a path
     ff_impl: str = "auto"
+    # fused attention-SUBLAYER kernel (qkv proj + attention + out proj +
+    # residual [+ LN] in one pass, ops/pallas/attn_sublayer.py): "auto" =
+    # on for inference / off for training (same recompute argument; the
+    # per-op pallas attention keeps its native fused backward for the
+    # train step); "on" | "off" force
+    attn_sublayer_fusion: str = "auto"
+    # fused pre/post pointwise chains (ops/pallas/pointwise.py): "auto" =
+    # pallas on TPU for inference, xla for training; "xla" | "pallas"
+    pointwise_impl: str = "auto"
     # lax.scan over layers (stacked params; identical numerics).  NOTE:
     # prefer the unrolled default when tensor-parallel sharding is on —
     # GSPMD-partitioning a scanned loop compiles far slower than the
