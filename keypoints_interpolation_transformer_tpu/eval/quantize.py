@@ -57,9 +57,8 @@ def quantize_dense_table(params) -> Dict[str, Tuple]:
     return table
 
 
-def _int8_dense(x, kernel_q, w_scale, bias, out_dtype):
-    """y = dequant(int8(x) @ kernel_q) + bias with per-token activation
-    scales; accumulation in int32 on the MXU."""
+def _int8_dense_xla(x, kernel_q, w_scale, bias, out_dtype):
+    """XLA form (CPU fallback + numerical oracle for the fused kernel)."""
     shape = x.shape
     xf = x.reshape(-1, shape[-1]).astype(jnp.float32)
     x_scale = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
@@ -71,6 +70,19 @@ def _int8_dense(x, kernel_q, w_scale, bias, out_dtype):
     if bias is not None:
         y = y + bias[None, :].astype(jnp.float32)
     return y.reshape(*shape[:-1], kernel_q.shape[1]).astype(out_dtype)
+
+
+def _int8_dense(x, kernel_q, w_scale, bias, out_dtype):
+    """y = dequant(int8(x) @ kernel_q) + bias with per-token activation
+    scales; accumulation in int32 on the MXU.  On TPU the whole chain
+    (dynamic quantization + matmul + dequant) runs as one Pallas kernel
+    (ops/pallas/int8_matmul.py) so the int8 tensor never touches HBM."""
+    from ..models.completer import _attention_platform
+
+    if _attention_platform() == "tpu":
+        from ..ops.pallas.int8_matmul import fused_int8_dense
+        return fused_int8_dense(x, kernel_q, w_scale, bias, out_dtype)
+    return _int8_dense_xla(x, kernel_q, w_scale, bias, out_dtype)
 
 
 def int8_interceptor(table: Dict[str, Tuple]):

@@ -49,10 +49,15 @@ class Inpainter:
                              "frozen plain model, A2_train_cycle.py:99)")
         self.variant = variant
         if quantize == "int8":
-            # int8 intercepts nn.Dense calls; the fused pallas FF sublayer
-            # bypasses Dense, so quantized serving pins the xla FF path
+            # the FF matmuls (2/3 of the FLOPs) run inside the fused
+            # Pallas FF kernel's int8 mode (in-kernel dynamic activation
+            # quantization, ops/pallas/ffn._kernel_int8); the remaining
+            # nn.Dense calls (embeddings) are intercepted by the
+            # quantize-table path.  Attention q/k/v/o stay float inside
+            # the fused attention-sublayer kernel — small FLOP share,
+            # and quantizing around the softmax costs accuracy.
             import dataclasses as _dc
-            model_cfg = _dc.replace(model_cfg, ff_impl="xla")
+            model_cfg = _dc.replace(model_cfg, ff_impl="pallas-int8")
         self.model = build_model(model_cfg, variant)
         self.first_model = build_model(model_cfg, "plain") \
             if variant == "cycle" else None

@@ -156,8 +156,12 @@ class KeypointCompleter(nn.Module):
             "learned_filled_pos", nn.initializers.uniform(scale=1.0),
             (1, 1, self.hidden_dim), self.dtype)
 
+        # width cap: the three stacked SwiGLU weights are VMEM-stationary
+        # (18*D^2 bytes under bf16x3) — D=1024 overflows the 16 MB scoped
+        # limit by 2 MB; wider models take the XLA chain
         use_pw = (resolve_pointwise_impl(self.pointwise_impl) == "pallas"
-                  and self.hidden_dim % 128 == 0 and T % 8 == 0)
+                  and self.hidden_dim % 128 == 0 and T % 8 == 0
+                  and self.hidden_dim <= 512)
         if use_pw:
             from ..ops.pallas.pointwise import fused_pre_stream
             sw_in = _SwiGLUParams(self.hidden_dim,

@@ -197,10 +197,10 @@ class _MHAParams(nn.Module):
         return wq, bq, wk, bk, wv, bv, wo, bo
 
 
-def _use_sublayer_kernel(fused, T) -> bool:
+def _use_sublayer_kernel(fused, T, D) -> bool:
     from ..ops.pallas.attn_sublayer import fused_attn_sublayer_supported
     return (fused is not None and fused.get("sublayer", False)
-            and fused_attn_sublayer_supported(T))
+            and fused_attn_sublayer_supported(T, D))
 
 
 def _fused_sublayer(x, memory, mha_params, ln_params, fused, num_heads):
@@ -222,11 +222,14 @@ def _fused_sublayer(x, memory, mha_params, ln_params, fused, num_heads):
 def resolve_ff_impl(impl: str) -> str:
     """"auto": the fused Pallas FF-sublayer kernel on TPU (the GELU
     intermediate and the residual+LayerNorm never touch HBM; RESULTS.md
-    round-3 table), plain XLA elsewhere."""
-    if impl != "auto":
-        return impl
+    round-3 table), plain XLA elsewhere.  "pallas-int8": the same kernel
+    with int8-on-MXU matmuls (serving; falls back to xla off-TPU)."""
     from ..models.completer import _attention_platform
-    return "pallas" if _attention_platform() == "tpu" else "xla"
+    if impl == "auto":
+        return "pallas" if _attention_platform() == "tpu" else "xla"
+    if impl == "pallas-int8" and _attention_platform() != "tpu":
+        return "xla"
+    return impl
 
 
 class EncoderLayer(nn.Module):
@@ -244,18 +247,20 @@ class EncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, bias=None, fused=None):
-        if _use_sublayer_kernel(fused, x.shape[1]):
+        if _use_sublayer_kernel(fused, x.shape[1], self.dim):
             mha = _MHAParams(self.dim, name="self_attn")()
             r = _fused_sublayer(x, None, mha, None, fused, self.num_heads)
         else:
             r = x + MultiHeadAttention(self.dim, self.num_heads, self.dtype,
                                        name="self_attn")(x, x, bias, fused)
-        if resolve_ff_impl(self.ff_impl) == "pallas":
+        impl = resolve_ff_impl(self.ff_impl)
+        if impl in ("pallas", "pallas-int8"):
             from ..ops.pallas.ffn import fused_ffn
             g1, be1 = _LayerNormParams(self.dim, name="norm1")()
             w1, b1, w2, b2 = _FFParams(self.dim, self.ff_dim, name="ff")()
             g2, be2 = _LayerNormParams(self.dim, name="norm2")()
-            return fused_ffn(r, w1, b1, w2, b2, g1, be1, g2, be2, True)
+            return fused_ffn(r, w1, b1, w2, b2, g1, be1, g2, be2, True,
+                             impl == "pallas-int8")
         x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm1")(r)
         x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm2")(
             x + FeedForward(self.dim, self.ff_dim, self.dtype,
@@ -277,7 +282,7 @@ class DecoderLayer(nn.Module):
     @nn.compact
     def __call__(self, x, memory, self_bias=None, cross_bias=None,
                  self_fused=None, cross_fused=None):
-        if _use_sublayer_kernel(self_fused, x.shape[1]):
+        if _use_sublayer_kernel(self_fused, x.shape[1], self.dim):
             mha = _MHAParams(self.dim, name="self_attn")()
             ln1 = _LayerNormParams(self.dim, name="norm1")()
             x = _fused_sublayer(x, None, mha, ln1, self_fused,
@@ -288,7 +293,7 @@ class DecoderLayer(nn.Module):
                 x + MultiHeadAttention(self.dim, self.num_heads, self.dtype,
                                        name="self_attn")(x, x, self_bias,
                                                          self_fused))
-        if (_use_sublayer_kernel(cross_fused, x.shape[1])
+        if (_use_sublayer_kernel(cross_fused, x.shape[1], self.dim)
                 and memory.shape[1] == x.shape[1]):
             mha = _MHAParams(self.dim, name="cross_attn")()
             r = _fused_sublayer(x, memory, mha, None, cross_fused,
@@ -298,12 +303,14 @@ class DecoderLayer(nn.Module):
                                        name="cross_attn")(x, memory,
                                                           cross_bias,
                                                           cross_fused)
-        if resolve_ff_impl(self.ff_impl) == "pallas":
+        impl = resolve_ff_impl(self.ff_impl)
+        if impl in ("pallas", "pallas-int8"):
             from ..ops.pallas.ffn import fused_ffn
             g1, be1 = _LayerNormParams(self.dim, name="norm2")()
             w1, b1, w2, b2 = _FFParams(self.dim, self.ff_dim, name="ff")()
             g2, be2 = _LayerNormParams(self.dim, name="norm3")()
-            return fused_ffn(r, w1, b1, w2, b2, g1, be1, g2, be2, True)
+            return fused_ffn(r, w1, b1, w2, b2, g1, be1, g2, be2, True,
+                             impl == "pallas-int8")
         x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm2")(r)
         x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm3")(
             x + FeedForward(self.dim, self.ff_dim, self.dtype,

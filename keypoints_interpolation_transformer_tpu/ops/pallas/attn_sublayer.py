@@ -160,8 +160,12 @@ def _batch_block_sublayer(B, T, D, mode):
     return 1
 
 
-def fused_attn_sublayer_supported(T: int) -> bool:
-    return T <= _MAX_T and T % 8 == 0
+def fused_attn_sublayer_supported(T: int, D: int = 0) -> bool:
+    """T must fit full-VMEM residency; D is capped so the four stationary
+    projection weights (up to 6*D*D bytes each in bf16x3 stacked form,
+    double-buffered by the pipeline) stay inside the 16 MB scoped-VMEM
+    limit — measured: D=1024 bf16 overflows by 1.17 MB."""
+    return T <= _MAX_T and T % 8 == 0 and D <= 512
 
 
 def _fwd_pallas(x, memory, params, mask, valid, kind, add_keypad, post_ln,

@@ -214,7 +214,38 @@ def _kernel_single(r_ref, w1, w2, b1, b2, g1, be1, g2, be2, o_ref, *,
                              mode).astype(o_ref.dtype)
 
 
-def _ffn_fwd_pallas(r, w1, b1, w2, b2, g1, be1, g2, be2, pre_ln):
+def _quant_rows(x):
+    """Dynamic symmetric per-row int8: (xq int8, scale (R, 1) f32)."""
+    amax = jnp.max(jnp.abs(x), axis=1, keepdims=True)
+    s = jnp.maximum(amax, 1e-12) * (1.0 / 127.0)
+    xq = jnp.clip(jnp.round(x * (1.0 / s)), -127, 127).astype(jnp.int8)
+    return xq, s
+
+
+def _int8_dot(x, wq, ws):
+    xq, s = _quant_rows(x)
+    acc = jax.lax.dot_general(xq, wq, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * s * ws
+
+
+def _kernel_int8(r_ref, w1q, w1s, w2q, w2s, b1, b2, g1, be1, g2, be2,
+                 o_ref, *, pre_ln):
+    """Serving int8: both FF matmuls run int8xint8->int32 on the MXU
+    (2x the bf16 rate on v5e) with per-token dynamic activation scales
+    quantized IN-KERNEL — the int8 tensors and the (R, FF) intermediate
+    never touch HBM.  Same scale semantics as eval/quantize."""
+    for lo, hi in _row_halves(r_ref.shape[0]):
+        r = r_ref[lo:hi].astype(jnp.float32)
+        x1 = _ln(r, g1[0], be1[0]) if pre_ln else r
+        u = _int8_dot(x1, w1q[...], w1s[0]) + b1[0]
+        h = _gelu_exact(u)
+        z = x1 + _int8_dot(h, w2q[...], w2s[0]) + b2[0]
+        o_ref[lo:hi] = _ln(z, g2[0], be2[0]).astype(o_ref.dtype)
+
+
+def _ffn_fwd_pallas(r, w1, b1, w2, b2, g1, be1, g2, be2, pre_ln,
+                    quantized=False):
     orig_shape = r.shape
     D = orig_shape[-1]
     FFD = w1.shape[1]
@@ -224,7 +255,35 @@ def _ffn_fwd_pallas(r, w1, b1, w2, b2, g1, be1, g2, be2, pre_ln):
     pad = (-N) % R
     if pad:
         x = jnp.pad(x, ((0, pad), (0, 0)))
-    mode = _precision_mode(r.dtype)
+    mode = "int8" if quantized else _precision_mode(r.dtype)
+
+    # stationary-weight VMEM budget: the weights are double-buffered by
+    # the pipeline, so wide models overflow the 16 MB scoped limit
+    # (measured: D=1024 f32 exceeds it by 5.2 MB).  Over budget -> the
+    # XLA reference path (identical math); near budget -> smaller row
+    # blocks.  int8's weights are 4x smaller than f32, which is why the
+    # quantized mode keeps the fused path at widths the float modes lose.
+    bytes_per = {"f32": 8, "bf16x3": 12, "bf16": 4, "int8": 2.5}[mode]
+    wbytes = bytes_per * D * FFD
+    if wbytes > (8 << 20):
+        if mode == "int8":
+            # preserve int8 numerics off-kernel (XLA int8 dense chain)
+            from ..eval.quantize import _int8_dense_xla, _quantize_kernel
+            xf = r.astype(jnp.float32)
+            x1 = _ln(xf, g1, be1) if pre_ln else xf
+            q1, s1 = _quantize_kernel(w1)
+            q2, s2 = _quantize_kernel(w2)
+            h = jax.nn.gelu(_int8_dense_xla(x1, q1, s1, b1, jnp.float32),
+                            approximate=False)
+            z = x1 + _int8_dense_xla(h, q2, s2, b2, jnp.float32)
+            return _ln(z, g2, be2).astype(r.dtype)
+        return ffn_reference(r, w1, b1, w2, b2, g1, be1, g2, be2, pre_ln)
+    if wbytes > (4 << 20):
+        R = min(R, 128)
+        x = r.reshape(-1, D)
+        pad = (-N) % R
+        if pad:
+            x = jnp.pad(x, ((0, pad), (0, 0)))
 
     row_spec = pl.BlockSpec((R, D), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -239,7 +298,23 @@ def _ffn_fwd_pallas(r, w1, b1, w2, b2, g1, be1, g2, be2, pre_ln):
     vecs = [v.astype(jnp.float32) for v in vecs]
     vec_specs = [const_spec(v.shape) for v in vecs]
 
-    if mode == "bf16x3":
+    if mode == "int8":
+        # symmetric per-output-channel weight quantization, in-graph (a
+        # few VPU passes over the weights, trivial next to the matmuls;
+        # XLA folds it when the weights are trace constants)
+        def wq(w):
+            w = w.astype(jnp.float32)
+            s = jnp.maximum(jnp.max(jnp.abs(w), axis=0, keepdims=True),
+                            1e-12) / 127.0
+            q = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+            return q, s
+        w1q, w1sc = wq(w1)
+        w2q, w2sc = wq(w2)
+        operands = [x, w1q, w1sc, w2q, w2sc, *vecs]
+        specs = [row_spec, const_spec(w1q.shape), const_spec(w1sc.shape),
+                 const_spec(w2q.shape), const_spec(w2sc.shape), *vec_specs]
+        kernel = functools.partial(_kernel_int8, pre_ln=pre_ln)
+    elif mode == "bf16x3":
         w1s = _stack_weight_3x(w1)
         w2s = _stack_weight_3x(w2)
         operands = [x, w1s, w2s, *vecs]
@@ -277,21 +352,27 @@ def ffn_reference(r, w1, b1, w2, b2, g1, be1, g2, be2, pre_ln=False):
     return _ln(z, g2, be2).astype(r.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
-def fused_ffn(r, w1, b1, w2, b2, g1, be1, g2, be2, pre_ln=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+def fused_ffn(r, w1, b1, w2, b2, g1, be1, g2, be2, pre_ln=False,
+              quantized=False):
     """y = LN2(x1 + gelu(x1@W1+b1)@W2 + b2), x1 = LN1(r) if pre_ln else r.
 
     Forward runs the Pallas kernel; gradients follow the XLA reference
-    implementation (identical math, XLA matmul numerics)."""
-    return _ffn_fwd_pallas(r, w1, b1, w2, b2, g1, be1, g2, be2, pre_ln)
+    implementation (identical math, XLA matmul numerics).  ``quantized``
+    runs both matmuls int8-on-MXU with in-kernel dynamic activation
+    scales (serving path; gradients still follow the float reference)."""
+    return _ffn_fwd_pallas(r, w1, b1, w2, b2, g1, be1, g2, be2, pre_ln,
+                           quantized)
 
 
-def _fused_ffn_vjp_fwd(r, w1, b1, w2, b2, g1, be1, g2, be2, pre_ln):
-    out = _ffn_fwd_pallas(r, w1, b1, w2, b2, g1, be1, g2, be2, pre_ln)
+def _fused_ffn_vjp_fwd(r, w1, b1, w2, b2, g1, be1, g2, be2, pre_ln,
+                       quantized):
+    out = _ffn_fwd_pallas(r, w1, b1, w2, b2, g1, be1, g2, be2, pre_ln,
+                          quantized)
     return out, (r, w1, b1, w2, b2, g1, be1, g2, be2)
 
 
-def _fused_ffn_vjp_bwd(pre_ln, res, g):
+def _fused_ffn_vjp_bwd(pre_ln, quantized, res, g):
     r, w1, b1, w2, b2, g1, be1, g2, be2 = res
     _, vjp = jax.vjp(
         lambda *a: ffn_reference(*a, pre_ln=pre_ln), r, w1, b1, w2, b2,

@@ -90,3 +90,175 @@ def test_two_process_run_matches_single_process(tmp_path):
     # the coordinator (and only the coordinator) wrote the checkpoint
     assert (tmp_path / "ckpt_mp" / "mh_mp" / "best").exists(), \
         "\n".join(outs)
+
+
+def _run_single(tmp_path, extra, env_dev=8, timeout=900):
+    args = [sys.executable] + ARGS + extra
+    r = subprocess.run(args, env=_base_env(tmp_path, env_dev),
+                       capture_output=True, text=True, timeout=timeout,
+                       cwd=str(tmp_path))
+    assert r.returncode == 0, r.stdout + r.stderr
+    return r.stdout
+
+
+def _free_port():
+    import socket
+    with socket.socket() as s:
+        s.bind(("", 0))
+        return s.getsockname()[1]
+
+
+def _run_multi(tmp_path, extra, n_proc, dev_per_proc, port=None,
+               timeout=900, base_args=None):
+    from keypoints_interpolation_transformer_tpu.parallel.distributed \
+        import launch_local
+    port = port or _free_port()
+    env = _base_env(tmp_path, dev_per_proc)
+    env["PYTHONUNBUFFERED"] = "1"
+    procs = launch_local(n_proc, (base_args or ARGS) + extra, port=port,
+                         cpu_devices_per_process=dev_per_proc, env=env)
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=timeout)
+        outs.append(out)
+    assert all(p.returncode == 0 for p in procs), "\n".join(outs)
+    return outs
+
+
+def test_four_process_hybrid_dcn_matches_single_process(tmp_path):
+    """4 processes x 2 devices, mesh (data=4, model=2) with the data axis
+    split 2-way over the process ("DCN") dimension: the hybrid
+    DCN x ICI mesh layout (parallel/distributed.py) must reproduce the
+    single-process 8-device losses — tensor-parallel placement included
+    (mesh.model=2 spans processes)."""
+    ref = _losses(_run_single(
+        tmp_path, ["--checkpoint_dir", str(tmp_path / "c1"),
+                   "--results_dir", str(tmp_path / "r1"),
+                   "--experiment_name", "h1"]))
+    assert len(ref) == 2
+
+    outs = _run_multi(
+        tmp_path, ["--mesh_dcn", "2",
+                   "--checkpoint_dir", str(tmp_path / "c4"),
+                   "--results_dir", str(tmp_path / "r4"),
+                   "--experiment_name", "h4"],
+        n_proc=4, dev_per_proc=2)
+    got = next(filter(None, (_losses(o) for o in outs)), [])
+    assert len(got) == 2, "\n".join(outs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=1e-6)
+
+
+def test_multiprocess_a2_cycle_matches_single_process(tmp_path):
+    """Multi-process a2: the frozen first model's params must be fed
+    (and tensor-parallel-placed) identically on every rank."""
+    # a1 checkpoint to freeze (single process)
+    _run_single(tmp_path, ["--epochs", "1",
+                           "--checkpoint_dir", str(tmp_path / "ca1"),
+                           "--results_dir", str(tmp_path / "ra1"),
+                           "--experiment_name", "first"])
+    first = str(tmp_path / "ca1" / "first" / "best")
+    a2 = ["--regime", "a2", "--upload_model", first]
+
+    ref = _losses(_run_single(
+        tmp_path, a2 + ["--checkpoint_dir", str(tmp_path / "cs"),
+                        "--results_dir", str(tmp_path / "rs"),
+                        "--experiment_name", "a2s"]))
+    assert len(ref) == 2
+
+    outs = _run_multi(
+        tmp_path, a2 + ["--checkpoint_dir", str(tmp_path / "cm"),
+                        "--results_dir", str(tmp_path / "rm"),
+                        "--experiment_name", "a2m"],
+        n_proc=2, dev_per_proc=4)
+    got = next(filter(None, (_losses(o) for o in outs)), [])
+    assert len(got) == 2, "\n".join(outs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=1e-6)
+
+
+def _indexed_losses(text):
+    out = {}
+    for m in re.finditer(
+            r"epoch (\d+): .*train=([\d.e+-]+) val=([\d.e+-]+)", text):
+        out[int(m.group(1))] = (float(m.group(2)), float(m.group(3)))
+    return out
+
+
+def test_kill_one_rank_then_resume_from_full_state(tmp_path):
+    """Failure recovery: SIGKILL one rank mid-run, then relaunch the
+    multi-process job from the last committed full_state — the resumed
+    trajectory must continue the uninterrupted single-process one exactly
+    (params + optimizer + epoch + LR position + RNG restored)."""
+    import signal
+    import time as _time
+
+    from keypoints_interpolation_transformer_tpu.parallel.distributed \
+        import launch_local
+
+    epochs = ["--epochs", "4", "--full_state_every", "1"]
+    ref = _indexed_losses(_run_single(
+        tmp_path, epochs + ["--checkpoint_dir", str(tmp_path / "cr"),
+                            "--results_dir", str(tmp_path / "rr"),
+                            "--experiment_name", "ref"]))
+    assert len(ref) == 4
+
+    # launch 2 ranks; watch rank0's stdout until epoch 1's full_state has
+    # COMMITTED (dir present, no orbax tmp sibling), then SIGKILL rank 1
+    import socket
+    with socket.socket() as s:      # a free port: fixed ports collide with
+        s.bind(("", 0))             # leftovers of earlier aborted runs
+        port = s.getsockname()[1]
+    run_args = ARGS + epochs + [
+        "--checkpoint_dir", str(tmp_path / "cm"),
+        "--results_dir", str(tmp_path / "rm"),
+        "--experiment_name", "mh_kill"]
+    env = _base_env(tmp_path, 4)
+    env["PYTHONUNBUFFERED"] = "1"
+    procs = launch_local(2, run_args, port=port,
+                         cpu_devices_per_process=4, env=env)
+    run_dir = tmp_path / "cm" / "mh_kill"
+    full_state = run_dir / "full_state"
+    try:
+        saw_epoch1 = False
+        rank0_lines = []
+        for line in procs[0].stdout:
+            rank0_lines.append(line)
+            if re.search(r"epoch 1:", line):
+                saw_epoch1 = True
+                break
+        assert saw_epoch1, \
+            "rank0 exited before epoch 1:\n" + "".join(rank0_lines[-40:])
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            tmps = list(run_dir.glob("*orbax*tmp*")) + \
+                list(run_dir.glob("full_state*tmp*"))
+            if full_state.exists() and not tmps:
+                break
+            _time.sleep(0.5)
+        assert full_state.exists(), "no committed full_state before kill"
+
+        procs[1].send_signal(signal.SIGKILL)
+        _time.sleep(1.0)
+    finally:
+        # rank0 blocks on the dead rank's next collective; tear it down
+        for p in procs:
+            p.kill()
+        for p in procs:
+            try:
+                p.communicate(timeout=60)
+            except Exception:
+                pass
+
+    # relaunch the SAME 2-process job from the committed full_state
+    outs = _run_multi(
+        tmp_path, ["--resume_from", str(full_state)],
+        n_proc=2, dev_per_proc=4, base_args=run_args)
+    got = next(filter(None, (_indexed_losses(o) for o in outs)), {})
+    assert got, "\n".join(outs)
+    # whichever epoch the committed state came from, every resumed epoch
+    # must match the uninterrupted reference at the same global index
+    for idx, tv in got.items():
+        np.testing.assert_allclose(np.asarray(tv), np.asarray(ref[idx]),
+                                   rtol=2e-4, atol=1e-6)
+    assert 3 in got, f"resume never reached the final epoch: {got}"
