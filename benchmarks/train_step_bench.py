@@ -27,6 +27,10 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--t", type=int, default=128)
     ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--ff_impl", default=None,
+                    help="override ModelConfig.ff_impl (e.g. pallas to "
+                         "force the fused FF kernel + its native Pallas "
+                         "backward in the train step)")
     args = ap.parse_args()
 
     from keypoints_interpolation_transformer_tpu.utils.compilation_cache \
@@ -46,6 +50,8 @@ def main():
     B, T = args.batch, args.t
     cfg = Config()
     cfg.model.hidden_dim, cfg.model.num_heads, cfg.model.num_layers = 256, 8, 6
+    if args.ff_impl:
+        cfg.model.ff_impl = args.ff_impl
     model = build_model(cfg.model, "plain", for_training=True)
 
     rng = np.random.default_rng(0)
@@ -69,7 +75,8 @@ def main():
     out = {"ms_per_step": round(s["sec_per_step"] * 1e3, 3),
            "frames_per_sec": round(s["frames_per_sec"], 1),
            "precision": args.precision, "batch": B, "t": T,
-           "loss_finite": bool(np.isfinite(float(metrics["loss"])))}
+           "loss_finite": bool(np.isfinite(float(metrics["loss"]))),
+           "ff_impl": args.ff_impl or "auto(training->xla)"}
     print(json.dumps(out))
 
 

@@ -268,7 +268,7 @@ def _ffn_fwd_pallas(r, w1, b1, w2, b2, g1, be1, g2, be2, pre_ln,
     if wbytes > (8 << 20):
         if mode == "int8":
             # preserve int8 numerics off-kernel (XLA int8 dense chain)
-            from ..eval.quantize import _int8_dense_xla, _quantize_kernel
+            from ...eval.quantize import _int8_dense_xla, _quantize_kernel
             xf = r.astype(jnp.float32)
             x1 = _ln(xf, g1, be1) if pre_ln else xf
             q1, s1 = _quantize_kernel(w1)
@@ -343,6 +343,213 @@ def _ffn_fwd_pallas(r, w1, b1, w2, b2, g1, be1, g2, be2, pre_ln,
     return out.reshape(orig_shape)
 
 
+# ---------------------------------------------------------------------------
+# Native Pallas backward: recompute-in-VMEM + dW accumulation across cells
+# ---------------------------------------------------------------------------
+
+_BWD_ROW_BLOCK = int(_os.environ.get("KIT_FFN_BWD_ROW_BLOCK", "128"))
+
+
+def _dot_parts(a_parts, b_parts, contract, mode):
+    """Generic in-kernel dot over prepped parts (bf16 / bf16x3 / f32) —
+    same strategy table as ops/pallas/attention._dot."""
+    prec = (jax.lax.Precision.HIGHEST if mode == "f32"
+            else jax.lax.Precision.DEFAULT)
+
+    def d(a, b):
+        return jax.lax.dot_general(a, b, (contract, ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=prec)
+
+    if mode == "bf16x3":
+        (ah, al), (bh, bl) = a_parts, b_parts
+        return d(ah, bh) + d(ah, bl) + d(al, bh)
+    return d(a_parts[0], b_parts[0])
+
+
+def _prep_act(x, mode):
+    if mode == "bf16":
+        return (x.astype(jnp.bfloat16),)
+    if mode == "bf16x3":
+        return _split_hi_lo_kernel(x)
+    return (x,)
+
+
+def _ln_bwd(dy_affine, x, gamma, eps=LN_EPS):
+    """Backward of y = norm(x)*gamma + beta given dy; returns
+    (dx, dgamma_rows, dbeta_rows) with the d* summed over rows by the
+    caller.  norm recomputed from x."""
+    m = jnp.mean(x, axis=-1, keepdims=True)
+    v = jnp.mean((x - m) * (x - m), axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(v + eps)
+    n = (x - m) * inv
+    dn = dy_affine * gamma
+    dx = (dn - jnp.mean(dn, axis=-1, keepdims=True)
+          - n * jnp.mean(dn * n, axis=-1, keepdims=True)) * inv
+    return dx, n
+
+
+def _gelu_grad(u):
+    """d/du [0.5 u (1 + erf(u/sqrt(2)))] = Phi(u) + u * phi(u)."""
+    phi = jnp.exp(-0.5 * u * u) * 0.3989422804014327
+    cdf = 0.5 * (1.0 + _erf_approx(u * (2.0 ** -0.5)))
+    return cdf + u * phi
+
+
+def _ffn_bwd_kernel(r_ref, g_ref, *rest, pre_ln, mode, n_w):
+    w_refs = rest[:n_w]
+    b1r, b2r, g1r, be1r, g2r, be2r = rest[n_w:n_w + 6]
+    (dr_ref, dw1_ref, dw2_ref, db1_ref, db2_ref, dg1_ref, dbe1_ref,
+     dg2_ref, dbe2_ref) = rest[n_w + 6:]
+    per = n_w // 2
+    w1p = tuple(r[...] for r in w_refs[:per])
+    w2p = tuple(r[...] for r in w_refs[per:])
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+        dg1_ref[...] = jnp.zeros_like(dg1_ref)
+        dbe1_ref[...] = jnp.zeros_like(dbe1_ref)
+        dg2_ref[...] = jnp.zeros_like(dg2_ref)
+        dbe2_ref[...] = jnp.zeros_like(dbe2_ref)
+
+    r = r_ref[...].astype(jnp.float32)
+    g = g_ref[...].astype(jnp.float32)
+    b1, b2 = b1r[0], b2r[0]
+    g1, be1, g2, be2 = g1r[0], be1r[0], g2r[0], be2r[0]
+
+    # --- recompute the forward in VMEM -----------------------------------
+    if pre_ln:
+        m1 = jnp.mean(r, axis=-1, keepdims=True)
+        v1 = jnp.mean((r - m1) * (r - m1), axis=-1, keepdims=True)
+        inv1 = jax.lax.rsqrt(v1 + LN_EPS)
+        n1 = (r - m1) * inv1
+        x1 = n1 * g1 + be1
+    else:
+        x1 = r
+    x1p = _prep_act(x1, mode)
+    u = _dot_parts(x1p, w1p, ((1,), (0,)), mode) + b1
+    h = _gelu_exact(u)
+    hp = _prep_act(h, mode)
+    z = x1 + _dot_parts(hp, w2p, ((1,), (0,)), mode) + b2
+
+    # --- LN2 backward ----------------------------------------------------
+    dz, n2 = _ln_bwd(g, z, g2)
+    dg2_ref[...] += jnp.sum(g * n2, axis=0, keepdims=True)
+    dbe2_ref[...] += jnp.sum(g, axis=0, keepdims=True)
+
+    # --- second matmul ---------------------------------------------------
+    dzp = _prep_act(dz, mode)
+    db2_ref[...] += jnp.sum(dz, axis=0, keepdims=True)
+    dw2_ref[...] += _dot_parts(hp, dzp, ((0,), (0,)), mode)   # (FF, D)
+    dh = _dot_parts(dzp, w2p, ((1,), (1,)), mode)             # (R, FF)
+
+    # --- GELU + first matmul --------------------------------------------
+    du = dh * _gelu_grad(u)
+    dup = _prep_act(du, mode)
+    db1_ref[...] += jnp.sum(du, axis=0, keepdims=True)
+    dw1_ref[...] += _dot_parts(x1p, dup, ((0,), (0,)), mode)  # (D, FF)
+    dx1 = _dot_parts(dup, w1p, ((1,), (1,)), mode) + dz
+
+    # --- LN1 backward / passthrough -------------------------------------
+    if pre_ln:
+        dg1_ref[...] += jnp.sum(dx1 * n1, axis=0, keepdims=True)
+        dbe1_ref[...] += jnp.sum(dx1, axis=0, keepdims=True)
+        dn1 = dx1 * g1
+        dr = (dn1 - jnp.mean(dn1, axis=-1, keepdims=True)
+              - n1 * jnp.mean(dn1 * n1, axis=-1, keepdims=True)) * inv1
+    else:
+        dr = dx1
+    dr_ref[...] = dr.astype(dr_ref.dtype)
+
+
+def _ffn_bwd_pallas(r, g, w1, b1, w2, b2, g1, be1, g2, be2, pre_ln, mode):
+    """Full-sublayer backward as ONE kernel: the forward is recomputed in
+    VMEM per row block (same FLOPs as the XLA-recompute VJP, but the
+    (R, FF) intermediates and the int8/bf16 casts never touch HBM) and
+    the weight/bias/LN gradients accumulate in VMEM across the
+    sequentially-visited row cells."""
+    orig_shape = r.shape
+    D = orig_shape[-1]
+    FFD = w1.shape[1]
+    x = r.reshape(-1, D)
+    gg = g.reshape(-1, D)
+    N = x.shape[0]
+    R = min(_BWD_ROW_BLOCK, max(8, N))
+    pad = (-N) % R
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+        gg = jnp.pad(gg, ((0, pad), (0, 0)))
+
+    if mode == "bf16x3":
+        w1p = _split_hi_lo(w1.astype(jnp.float32))
+        w2p = _split_hi_lo(w2.astype(jnp.float32))
+    elif mode == "bf16":
+        w1p = (w1.astype(jnp.bfloat16),)
+        w2p = (w2.astype(jnp.bfloat16),)
+    else:
+        w1p = (w1.astype(jnp.float32),)
+        w2p = (w2.astype(jnp.float32),)
+    w_ops = [*w1p, *w2p]
+    n_w = len(w_ops)
+
+    vecs = [b1.reshape(1, FFD), b2.reshape(1, D), g1.reshape(1, D),
+            be1.reshape(1, D), g2.reshape(1, D), be2.reshape(1, D)]
+    vecs = [v.astype(jnp.float32) for v in vecs]
+
+    row_spec = pl.BlockSpec((R, D), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def const_spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda i: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    out_shapes = [
+        jax.ShapeDtypeStruct(x.shape, r.dtype),          # dr
+        jax.ShapeDtypeStruct((D, FFD), jnp.float32),     # dW1
+        jax.ShapeDtypeStruct((FFD, D), jnp.float32),     # dW2
+        jax.ShapeDtypeStruct((1, FFD), jnp.float32),     # db1
+        jax.ShapeDtypeStruct((1, D), jnp.float32),       # db2
+        jax.ShapeDtypeStruct((1, D), jnp.float32),       # dg1
+        jax.ShapeDtypeStruct((1, D), jnp.float32),       # dbe1
+        jax.ShapeDtypeStruct((1, D), jnp.float32),       # dg2
+        jax.ShapeDtypeStruct((1, D), jnp.float32),       # dbe2
+    ]
+    out_specs = (row_spec, const_spec((D, FFD)), const_spec((FFD, D)),
+                 const_spec((1, FFD)), const_spec((1, D)),
+                 const_spec((1, D)), const_spec((1, D)),
+                 const_spec((1, D)), const_spec((1, D)))
+
+    outs = pl.pallas_call(
+        functools.partial(_ffn_bwd_kernel, pre_ln=pre_ln, mode=mode,
+                          n_w=n_w),
+        grid=(x.shape[0] // R,),
+        in_specs=[row_spec, row_spec, *[const_spec(w.shape) for w in w_ops],
+                  *[const_spec(v.shape) for v in vecs]],
+        out_specs=out_specs,
+        out_shape=tuple(out_shapes),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(x, gg, *w_ops, *vecs)
+    dr, dw1, dw2, db1, db2, dg1, dbe1, dg2, dbe2 = outs
+    if pad:
+        dr = dr[:N]
+    dr = dr.reshape(orig_shape)
+    zero_like = lambda a: jnp.zeros_like(a)
+    if not pre_ln:
+        dg1v, dbe1v = zero_like(g1), zero_like(be1)
+    else:
+        dg1v, dbe1v = dg1[0].astype(g1.dtype), dbe1[0].astype(be1.dtype)
+    return (dr, dw1.astype(w1.dtype), db1[0].astype(b1.dtype),
+            dw2.astype(w2.dtype), db2[0].astype(b2.dtype),
+            dg1v, dbe1v,
+            dg2[0].astype(g2.dtype), dbe2[0].astype(be2.dtype))
+
+
 def ffn_reference(r, w1, b1, w2, b2, g1, be1, g2, be2, pre_ln=False):
     """Pure-XLA same math (backward path + CPU fallback + test oracle)."""
     x = r.astype(jnp.float32)
@@ -374,6 +581,19 @@ def _fused_ffn_vjp_fwd(r, w1, b1, w2, b2, g1, be1, g2, be2, pre_ln,
 
 def _fused_ffn_vjp_bwd(pre_ln, quantized, res, g):
     r, w1, b1, w2, b2, g1, be1, g2, be2 = res
+    mode = _precision_mode(r.dtype)
+    from ...models.completer import _attention_platform
+    use_pallas = (not quantized and mode in ("bf16", "bf16x3")
+                  and _attention_platform() == "tpu"
+                  and w1.shape[0] * w1.shape[1] <= 600_000)
+    if use_pallas:
+        # native fused backward: forward recomputed in VMEM, dW/db/dLN
+        # accumulated across row cells — the train step keeps the fused
+        # FF path instead of paying the XLA recompute's HBM round-trips.
+        # Gradient numerics: bf16/bf16x3 MXU passes and the rational-erf
+        # GELU derivative (vs XLA-precision + true erf on the fallback).
+        return _ffn_bwd_pallas(r, g, w1, b1, w2, b2, g1, be1, g2, be2,
+                               pre_ln, mode)
     _, vjp = jax.vjp(
         lambda *a: ffn_reference(*a, pre_ln=pre_ln), r, w1, b1, w2, b2,
         g1, be1, g2, be2)

@@ -41,13 +41,12 @@ def build_model(model_cfg, variant: Optional[str] = None, *,
                 for_training: bool = False):
     """Construct the configured model.
 
-    ``for_training`` resolves the "auto" fusion knobs for the grad path:
-    the whole-sublayer fusion kernels (attn_sublayer / ffn / pointwise)
-    backward via an XLA recompute, so under jax.grad their fused forward
-    is paid twice — measured net slower at bf16x3 (RESULTS.md).  Training
-    therefore defaults to the per-op pallas attention (which has a native
-    fused Pallas backward) with XLA FF/pointwise; explicit "on"/"pallas"
-    settings still win.
+    ``for_training`` resolves the "auto" fusion knobs for the grad path
+    (measured, RESULTS.md): per-op pallas attention (native fused Pallas
+    backward) instead of the sublayer kernel (whose backward is an XLA
+    recompute), XLA pointwise, and a precision-dependent FF — the fused
+    FF kernel's native Pallas backward wins at bf16, the XLA FF at
+    bf16x3/highest.  Explicit "on"/"pallas" settings still win.
     """
     v = variant or model_cfg.variant
     dtype = jnp.dtype(model_cfg.compute_dtype)
@@ -59,7 +58,16 @@ def build_model(model_cfg, variant: Optional[str] = None, *,
     remat = getattr(model_cfg, "remat", False)
     sp = getattr(model_cfg, "sequence_parallel", False)
     if for_training:
-        ff_impl = "xla" if ff_impl == "auto" else ff_impl
+        if ff_impl == "auto":
+            # measured (benchmarks/train_step_bench.py, B=64 T=128): the
+            # fused FF kernel + its native Pallas backward wins at bf16
+            # (22.1 vs 24.4 ms/step) but loses at bf16x3 (37.6 vs 36.4 —
+            # the in-VMEM forward recompute costs 2 extra 3-pass matmuls
+            # that outweigh the HBM savings), and "highest" keeps XLA
+            # gradient numerics for parity work.
+            prec = getattr(model_cfg, "matmul_precision", "highest")
+            ff_impl = ("pallas" if prec in ("default", "bfloat16",
+                                            "fastest") else "xla")
         pw_impl = "xla" if pw_impl == "auto" else pw_impl
         sub_flag = sub == "on"
     else:

@@ -74,7 +74,7 @@ def test_two_process_run_matches_single_process(tmp_path):
                       "--results_dir", str(tmp_path / "res_mp"),
                       "--experiment_name", "mh_mp"]
     env = _base_env(tmp_path, 4)
-    procs = launch_local(2, args_mp, port=12923,
+    procs = launch_local(2, args_mp, port=_free_port(),
                          cpu_devices_per_process=4, env=env)
     outs = []
     for p in procs:

@@ -466,3 +466,53 @@ def test_model_sublayer_fusion_matches_unfused(rng):
 
     np.testing.assert_allclose(np.asarray(run(True)),
                                np.asarray(run(False)), atol=2e-5)
+
+
+@pytest.mark.parametrize("pre_ln", [False, True])
+def test_ffn_pallas_backward_matches_reference_vjp(rng, pre_ln):
+    """The native Pallas FFN backward (in-VMEM recompute + cross-cell dW
+    accumulation) must match jax.vjp of the XLA reference to fp noise."""
+    from keypoints_interpolation_transformer_tpu.ops.pallas import ffn
+
+    D, FF = 64, 128
+    r = jnp.asarray(rng.normal(size=(2, 24, D)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(2, 24, D)).astype(np.float32))
+    w1 = jnp.asarray((rng.normal(size=(D, FF)) * 0.05).astype(np.float32))
+    b1 = jnp.asarray((rng.normal(size=(FF,)) * 0.01).astype(np.float32))
+    w2 = jnp.asarray((rng.normal(size=(FF, D)) * 0.05).astype(np.float32))
+    b2 = jnp.asarray((rng.normal(size=(D,)) * 0.01).astype(np.float32))
+    ln = [jnp.asarray((1 + 0.1 * rng.normal(size=(D,))).astype(np.float32)),
+          jnp.asarray((0.1 * rng.normal(size=(D,))).astype(np.float32)),
+          jnp.asarray((1 + 0.1 * rng.normal(size=(D,))).astype(np.float32)),
+          jnp.asarray((0.1 * rng.normal(size=(D,))).astype(np.float32))]
+
+    _, vjp = jax.vjp(lambda *a: ffn.ffn_reference(*a, pre_ln=pre_ln),
+                     r, w1, b1, w2, b2, *ln)
+    want = vjp(g)
+    with pltpu.force_tpu_interpret_mode():
+        got = ffn._ffn_bwd_pallas(r, g, w1, b1, w2, b2, *ln, pre_ln, "f32")
+    for a, b in zip(got, want):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-9
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale, atol=1e-5)
+
+
+def test_ffn_int8_mode_close_to_float(rng):
+    """Serving int8 FF kernel: int8 quantization noise only (bounded),
+    same math otherwise."""
+    from keypoints_interpolation_transformer_tpu.ops.pallas import ffn
+
+    D, FF = 128, 256
+    r = jnp.asarray(rng.normal(size=(64, D)).astype(np.float32))
+    w1 = jnp.asarray((rng.normal(size=(D, FF)) * 0.05).astype(np.float32))
+    b1 = jnp.asarray((rng.normal(size=(FF,)) * 0.01).astype(np.float32))
+    w2 = jnp.asarray((rng.normal(size=(FF, D)) * 0.05).astype(np.float32))
+    b2 = jnp.asarray((rng.normal(size=(D,)) * 0.01).astype(np.float32))
+    one = jnp.ones((D,), jnp.float32)
+    zero = jnp.zeros((D,), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        got = ffn.fused_ffn(r, w1, b1, w2, b2, one, zero, one, zero,
+                            True, True)
+    want = ffn.ffn_reference(r, w1, b1, w2, b2, one, zero, one, zero, True)
+    err = float(jnp.max(jnp.abs(got - want)))
+    assert err < 0.05, err
