@@ -72,14 +72,19 @@ def bench_jax():
         # timed region with a host readback of a dependent scalar — on
         # remote-tunnel backends block_until_ready() can return at enqueue
         # time, which would time dispatch rate instead of device execution.
+        # best-of-2 timing loops: tunnel/host scheduling noise moved the
+        # single-loop number by ~5% run to run (min-of-n policy, like the
+        # CPU baseline below).
         with jax.default_matmul_precision(precision):
             f = jax.jit(fwd)
-            timer = StepTimer(warmup=1)   # step 1 = compile + warm
-            x = masked
-            for _ in range(STEPS + 1):
-                x = f(params, x, clean, miss)
-                timer.step(x, frames=BATCH * T)
-            fps = timer.summary()["frames_per_sec"]
+            fps = 0.0
+            for _ in range(2):
+                timer = StepTimer(warmup=1)   # step 1 = compile + warm
+                x = masked
+                for _ in range(STEPS + 1):
+                    x = f(params, x, clean, miss)
+                    timer.step(x, frames=BATCH * T)
+                fps = max(fps, timer.summary()["frames_per_sec"])
             out = f(params, masked, clean, miss)
         return fps, np.asarray(out)
 
