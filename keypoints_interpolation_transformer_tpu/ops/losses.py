@@ -70,3 +70,15 @@ def composite_prediction(pred, target, missing_mask):
     keypoints and coordinates."""
     m = missing_mask[..., None, None]
     return pred * m + target * (1.0 - m)
+
+
+def intermediate_loss(outputs, target, frame_weight=None):
+    """Sum of per-output MSE over a list of intermediate predictions —
+    deep-supervision auxiliary loss.
+
+    Working re-derivation of the reference's dead helper
+    ``calculate_intermediate_loss`` (model.py:53-57: ``sum(F.mse_loss(o,
+    target) for o in outputs)``), extended with the frame-validity
+    weighting every live criterion here carries so it composes with
+    padded batches."""
+    return sum(jnp.mean(mse_loss(o, target, frame_weight)) for o in outputs)

@@ -179,6 +179,12 @@ def launch_local(num_processes: int, argv, port: int = 12377,
         e["KIT_COORDINATOR"] = f"localhost:{port}"
         e["KIT_NUM_PROCESSES"] = str(num_processes)
         e["KIT_PROCESS_ID"] = str(pid)
+        # same-machine ranks must ride loopback: Gloo's data plane picks
+        # the default (external) interface from the hostname otherwise,
+        # and sandboxed/firewalled hosts drop or throttle those local
+        # connections intermittently ("Gloo context initialization
+        # failed: Connect timeout", observed ~30% of 4-process runs)
+        e.setdefault("GLOO_SOCKET_IFNAME", "lo")
         if cpu_devices_per_process:
             e["JAX_PLATFORMS"] = "cpu"
             # a TPU-plugin sitecustomize (e.g. axon) can force-register a

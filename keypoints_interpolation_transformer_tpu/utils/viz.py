@@ -91,3 +91,37 @@ def validation_image(inputs: np.ndarray, prediction: np.ndarray,
             except ImportError:
                 pass
     return out
+
+
+def test_result_image(model, params, video: np.ndarray,
+                      frame_mask: np.ndarray,
+                      edges: Optional[np.ndarray] = None,
+                      path: Optional[str] = None) -> np.ndarray:
+    """One-row strip of the model's prediction on a single test video.
+
+    Working equivalent of the reference's ``sent_test_result``
+    (utils.py:124-135), which is dead-broken there: it calls
+    ``model.get_src_mask`` — a method that does not exist on either
+    reference model — and logs to wandb only.  Here the forward uses the
+    model's real masking API and the strip is returned (and optionally
+    written) like the validation strips.
+    """
+    import jax.numpy as jnp
+
+    v = jnp.asarray(video, jnp.float32)[None]          # (1, T, K, 2)
+    m = jnp.asarray(frame_mask, jnp.float32)[None]     # (1, T)
+    pred = model.apply(params, v, v, src_frame_mask=m, tgt_frame_mask=m)
+    strip = render_strip(np.asarray(pred[0]), "Test", edges)
+    if path:
+        try:
+            import cv2
+            cv2.imwrite(path, strip)
+        except ImportError:
+            try:
+                import matplotlib
+                matplotlib.use("Agg")
+                import matplotlib.pyplot as plt
+                plt.imsave(path, strip[..., ::-1])
+            except ImportError:
+                pass
+    return strip

@@ -211,3 +211,27 @@ def test_train_rejects_empty_dataset(tmp_path):
                                    checkpoint_dir=str(tmp_path)))
     with pytest.raises(ValueError, match="empty dataset"):
         train(cfg, train_ds=empty, val_ds=empty)
+
+
+def test_test_result_image(tmp_path):
+    """Working sent_test_result equivalent (the reference's is
+    dead-broken: calls a nonexistent model.get_src_mask)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from keypoints_interpolation_transformer_tpu.models.completer import (
+        KeypointCompleter)
+    from keypoints_interpolation_transformer_tpu.utils.viz import (
+        test_result_image)
+
+    rng = np.random.default_rng(0)
+    video = rng.uniform(0.2, 0.8, (6, 54, 2)).astype(np.float32)
+    mask = (rng.uniform(size=6) < 0.3).astype(np.float32)
+    model = KeypointCompleter(hidden_dim=32, num_layers=1, num_heads=4,
+                              attention_impl="xla")
+    params = model.init(jax.random.key(0), jnp.asarray(video)[None],
+                        jnp.asarray(video)[None])
+    out = test_result_image(model, params, video, mask,
+                            path=str(tmp_path / "test_strip.jpg"))
+    assert out.ndim == 3 and out.shape[1] > out.shape[0]  # horizontal strip
+    assert (tmp_path / "test_strip.jpg").exists()

@@ -68,19 +68,11 @@ def test_two_process_run_matches_single_process(tmp_path):
 
     # 2 processes x 4 virtual devices, same global mesh: the data axis
     # spans the two processes (hybrid DCN x ICI layout)
-    from keypoints_interpolation_transformer_tpu.parallel.distributed \
-        import launch_local
-    args_mp = ARGS + ["--checkpoint_dir", str(tmp_path / "ckpt_mp"),
-                      "--results_dir", str(tmp_path / "res_mp"),
-                      "--experiment_name", "mh_mp"]
-    env = _base_env(tmp_path, 4)
-    procs = launch_local(2, args_mp, port=_free_port(),
-                         cpu_devices_per_process=4, env=env)
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=900)
-        outs.append(out)
-    assert all(p.returncode == 0 for p in procs), "\n".join(outs)
+    outs = _run_multi(
+        tmp_path, ["--checkpoint_dir", str(tmp_path / "ckpt_mp"),
+                   "--results_dir", str(tmp_path / "res_mp"),
+                   "--experiment_name", "mh_mp"],
+        n_proc=2, dev_per_proc=4)
     got = _losses(outs[0]) or _losses(outs[1])
     assert len(got) == 2, "\n".join(outs)
 
@@ -108,20 +100,33 @@ def _free_port():
         return s.getsockname()[1]
 
 
+_GLOO_FLAKE = ("Gloo context initialization failed",
+               "DEADLINE_EXCEEDED", "Connect timeout")
+
+
 def _run_multi(tmp_path, extra, n_proc, dev_per_proc, port=None,
-               timeout=900, base_args=None):
+               timeout=900, base_args=None, attempts=2):
+    """Launch the coordinated CLI ranks; retry ONCE on a Gloo TCP connect
+    timeout — an infrastructure flake of this sandbox's loopback (the
+    training payload is deterministic once the mesh connects; observed
+    sporadically in suite runs, never twice in a row)."""
     from keypoints_interpolation_transformer_tpu.parallel.distributed \
         import launch_local
-    port = port or _free_port()
-    env = _base_env(tmp_path, dev_per_proc)
-    env["PYTHONUNBUFFERED"] = "1"
-    procs = launch_local(n_proc, (base_args or ARGS) + extra, port=port,
-                         cpu_devices_per_process=dev_per_proc, env=env)
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=timeout)
-        outs.append(out)
-    assert all(p.returncode == 0 for p in procs), "\n".join(outs)
+    for attempt in range(attempts):
+        env = _base_env(tmp_path, dev_per_proc)
+        env["PYTHONUNBUFFERED"] = "1"
+        procs = launch_local(n_proc, (base_args or ARGS) + extra,
+                             port=port or _free_port(),
+                             cpu_devices_per_process=dev_per_proc, env=env)
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=timeout)
+            outs.append(out)
+        if all(p.returncode == 0 for p in procs):
+            return outs
+        flaky = any(m in o for o in outs for m in _GLOO_FLAKE)
+        if not flaky or attempt == attempts - 1:
+            assert False, "\n".join(outs)
     return outs
 
 

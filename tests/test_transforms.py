@@ -505,3 +505,66 @@ def test_overlay_stats_above_max_blocks_are_not_clipped(rng):
         < 0.1, (ours[:, 0].mean(), ref[:, 0].mean())
     assert abs(ours[:, 1].mean() - ref[:, 1].mean()) / ref[:, 1].mean() \
         < 0.1, (ours[:, 1].mean(), ref[:, 1].mean())
+
+
+class TestSpoterLegacy:
+    """Working re-derivations of the reference's dead/broken SPOTER
+    helpers (augmentation.py:36-118)."""
+
+    def test_dict_numpy_round_trip(self):
+        import numpy as np
+        from keypoints_interpolation_transformer_tpu.transforms import (
+            spoter_legacy as sl)
+
+        rng = np.random.default_rng(0)
+        arr = rng.normal(size=(5, 54, 2))
+        d = sl.numpy_to_dictionary(arr)
+        assert len(d) == 54 and len(d["pose_nose"]) == 5
+        back = sl.dictionary_to_numpy(d)
+        np.testing.assert_allclose(back, arr)
+
+    def test_rotate_point_matches_complex_oracle(self):
+        import cmath
+        import numpy as np
+        from keypoints_interpolation_transformer_tpu.transforms import (
+            spoter_legacy as sl)
+
+        rng = np.random.default_rng(1)
+        for _ in range(20):
+            o = tuple(rng.normal(size=2))
+            p = tuple(rng.normal(size=2))
+            a = float(rng.uniform(-3, 3))
+            got = sl.rotate_point(o, p, a)
+            z = (complex(*p) - complex(*o)) * cmath.exp(1j * a) + complex(*o)
+            np.testing.assert_allclose(got, (z.real, z.imag), atol=1e-12)
+
+    def test_split_wrap_shapes_and_quirk(self):
+        import numpy as np
+        from keypoints_interpolation_transformer_tpu.transforms import (
+            spoter_legacy as sl)
+
+        rng = np.random.default_rng(2)
+        sign = rng.normal(size=(4, 54, 2))
+        body, hands = sl.split_body_hands(sign)
+        # reference quirk: "body" is the FULL catalog (pose incl. face
+        # incl. hands), hands are the 42 hand columns
+        assert body.shape == (4, 54, 2) and hands.shape == (4, 42, 2)
+        wrapped = sl.wrap_sign_into_row(body, hands)
+        assert wrapped.shape == (4, 96, 2)
+        np.testing.assert_allclose(wrapped[:, :54], sign)
+
+
+def test_intermediate_loss_matches_torch_pattern():
+    """intermediate_loss == sum of plain MSEs (reference model.py:53-57)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from keypoints_interpolation_transformer_tpu.ops.losses import (
+        intermediate_loss, mse_loss)
+
+    rng = np.random.default_rng(3)
+    tgt = jnp.asarray(rng.normal(size=(2, 6, 54, 2)), jnp.float32)
+    outs = [jnp.asarray(rng.normal(size=(2, 6, 54, 2)), jnp.float32)
+            for _ in range(3)]
+    got = float(intermediate_loss(outs, tgt))
+    want = sum(float(jnp.mean(mse_loss(o, tgt))) for o in outs)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
