@@ -247,13 +247,32 @@ class EncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, bias=None, fused=None):
-        if _use_sublayer_kernel(fused, x.shape[1], self.dim):
+        impl = resolve_ff_impl(self.ff_impl)
+        use_sub = _use_sublayer_kernel(fused, x.shape[1], self.dim)
+        if use_sub and impl in ("pallas", "pallas-int8"):
+            from ..ops.pallas.layer_fused import (fused_encoder_layer,
+                                                  fused_layer_supported)
+            if fused_layer_supported(x.shape[1], self.dim, self.ff_dim):
+                # the WHOLE layer in one kernel: the attention->FF
+                # hand-off never touches HBM; "pallas-int8" runs the FF
+                # matmuls int8-on-MXU inside the same kernel
+                mha = _MHAParams(self.dim, name="self_attn")()
+                g1, be1 = _LayerNormParams(self.dim, name="norm1")()
+                w1, b1, w2, b2 = _FFParams(self.dim, self.ff_dim,
+                                           name="ff")()
+                g2, be2 = _LayerNormParams(self.dim, name="norm2")()
+                return fused_encoder_layer(
+                    x, (*mha, w1, b1, w2, b2, g1, be1, g2, be2),
+                    (fused["mask"], fused.get("valid")),
+                    fused.get("kind", "repeat-inc"),
+                    fused.get("add_keypad", False), self.num_heads,
+                    impl == "pallas-int8")
+        if use_sub:
             mha = _MHAParams(self.dim, name="self_attn")()
             r = _fused_sublayer(x, None, mha, None, fused, self.num_heads)
         else:
             r = x + MultiHeadAttention(self.dim, self.num_heads, self.dtype,
                                        name="self_attn")(x, x, bias, fused)
-        impl = resolve_ff_impl(self.ff_impl)
         if impl in ("pallas", "pallas-int8"):
             from ..ops.pallas.ffn import fused_ffn
             g1, be1 = _LayerNormParams(self.dim, name="norm1")()

@@ -128,35 +128,27 @@ def _sublayer_kernel(x_ref, mem_ref, mask_ref, valid_ref, *rest, kind,
                       for i in range(4))
     bq_, bk_, bv_, bo_ = (r[0].astype(jnp.float32) for r in b_refs)
     T = x_ref.shape[1]
-    D = x_ref.shape[2]
-
-    # projections run ONCE for the whole (bb*T, D) block — one large
-    # MXU matmul instead of bb small ones (the per-b form left the MXU
-    # under-filled at M=T); only the attention core is per batch row
-    x2d = x_ref[...].astype(jnp.float32).reshape(bb * T, D)
-    xp = _prep(x2d, mode)
-    if mem_ref is x_ref:
-        mp = xp
-    else:
-        mp = _prep(mem_ref[...].astype(jnp.float32).reshape(bb * T, D),
-                   mode)
-    q_all = _proj(xp, wq, bq_, mode)                      # (bb*T, D)
-    k_all = _proj(mp, wk, bk_, mode)
-    v_all = _proj(mp, wv, bv_, mode)
-
-    outs = []
+    # per-batch-row processing: whole-block q/k/v materialization was
+    # measured speed-neutral (the kernel is VPU-softmax bound, not
+    # MXU-dispatch bound) and overflowed scoped VMEM at f32/bb=8
     for b in range(bb):
-        rows = slice(b * T, (b + 1) * T)
+        x = x_ref[b].astype(jnp.float32)                  # (T, D)
+        xp = _prep(x, mode)
+        if mem_ref is x_ref:
+            mp = xp
+        else:
+            mp = _prep(mem_ref[b].astype(jnp.float32), mode)
+        q = _proj(xp, wq, bq_, mode)
+        k = _proj(mp, wk, bk_, mode)
+        v = _proj(mp, wv, bv_, mode)
         bias = _bias_terms_T(mask_ref[b, 0], valid_ref[b, 0], T, kind,
                              add_keypad, 0, T, mul=_LOG2E)
-        outs.append(_attn_core(q_all[rows], k_all[rows], v_all[rows],
-                               bias, heads, dh, mode))
-    a_all = outs[0] if bb == 1 else jnp.concatenate(outs, axis=0)
-    r = x2d + _proj(_prep(a_all, mode), wo, bo_, mode)
-    if post_ln:
-        r = _ln(r, ln_refs[0][0].astype(jnp.float32),
-                ln_refs[1][0].astype(jnp.float32))
-    o_ref[...] = r.reshape(bb, T, D).astype(o_ref.dtype)
+        a = _attn_core(q, k, v, bias, heads, dh, mode)
+        r = x + _proj(_prep(a, mode), wo, bo_, mode)
+        if post_ln:
+            r = _ln(r, ln_refs[0][0].astype(jnp.float32),
+                    ln_refs[1][0].astype(jnp.float32))
+        o_ref[b] = r.astype(o_ref.dtype)
 
 
 def _batch_block_sublayer(B, T, D, mode):

@@ -1,0 +1,218 @@
+"""Pallas TPU whole-layer fusions: transformer sublayer PAIRS in one pass.
+
+With the attention-sublayer (ops/pallas/attn_sublayer.py) and FF-sublayer
+(ops/pallas/ffn.py) kernels, the only HBM traffic left in an encoder
+layer is the (B, T, D) hand-off between them (write r, read r — ~82 us
+per boundary at the flagship shape).  These kernels remove it:
+
+  * fused_encoder_layer: x -> [self-attn + residual] -> [LN1 -> FF ->
+    residual -> LN2] with the intermediate r living only in VMEM
+    (reference: one torch TransformerEncoderLayer, model.py:84-90).
+  * fused_decoder_selfcross: x -> LN1(x + self-attn) -> (+ cross-attn
+    residual), the decoder's two attention sublayers in one pass; the
+    FF kernel then absorbs norm2/norm3 as before.
+
+Same MXU strategy, bias construction, exp2 softmax, parameter layout and
+XLA-reference backward (jax.custom_vjp) as the per-sublayer kernels.
+Stationary weights cap the supported width (see supported())."""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .attention import (LOG2E as _LOG2E, _bias_terms_T, _mxu_mode, _prep,
+                        _xla_attention)
+from .attn_sublayer import _attn_core, _ln, _proj
+from .ffn import _gelu_exact, _int8_dot, _stack_weight_3x
+
+_MAX_T = 256   # full-T VMEM residency incl. the (R, FF) FF intermediates
+
+
+def fused_layer_supported(T: int, D: int, ff_dim: int) -> bool:
+    """Stationary weights (qkvo + FF, bf16x3-stacked) plus one row-block
+    of FF intermediates must fit scoped VMEM with margin."""
+    wbytes = 6 * (4 * D * D + 2 * D * ff_dim)  # bf16x3 stacked, 6 bytes/elem
+    return T <= _MAX_T and T % 8 == 0 and wbytes <= (8 << 20)
+
+
+def _prep_w(ws, mode):
+    if mode == "bf16x3":
+        return [_stack_weight_3x(w) for w in ws]
+    if mode == "bf16":
+        return [w.astype(jnp.bfloat16) for w in ws]
+    return [w.astype(jnp.float32) for w in ws]
+
+
+def _enc_kernel(x_ref, mask_ref, valid_ref, *rest, kind, add_keypad,
+                heads, dh, bb, mode, n_w, ff_int8=False):
+    w_refs = rest[:n_w]
+    (bq_r, bk_r, bv_r, bo_r, b1_r, b2_r, g1_r, be1_r, g2_r,
+     be2_r) = rest[n_w:n_w + 10]
+    o_ref = rest[-1]
+    if ff_int8:
+        # last 4 weight operands: w1q, w1scale, w2q, w2scale
+        per = (n_w - 4) // 4
+        wq, wk, wv, wo = (
+            tuple(r[...] for r in w_refs[i * per:(i + 1) * per])
+            for i in range(4))
+        w1q, w1s, w2q, w2s = (r[...] for r in w_refs[-4:])
+        w1 = w2 = None
+    else:
+        per = n_w // 6
+        wq, wk, wv, wo, w1, w2 = (
+            tuple(r[...] for r in w_refs[i * per:(i + 1) * per])
+            for i in range(6))
+    bq_, bk_, bv_, bo_, b1, b2 = (
+        r[0].astype(jnp.float32)
+        for r in (bq_r, bk_r, bv_r, bo_r, b1_r, b2_r))
+    g1, be1, g2, be2 = (r[0].astype(jnp.float32)
+                        for r in (g1_r, be1_r, g2_r, be2_r))
+    T = x_ref.shape[1]
+    D = x_ref.shape[2]
+
+    x2d = x_ref[...].astype(jnp.float32).reshape(bb * T, D)
+    xp = _prep(x2d, mode)
+    q_all = _proj(xp, wq, bq_, mode)
+    k_all = _proj(xp, wk, bk_, mode)
+    v_all = _proj(xp, wv, bv_, mode)
+    outs = []
+    for b in range(bb):
+        rows = slice(b * T, (b + 1) * T)
+        bias = _bias_terms_T(mask_ref[b, 0], valid_ref[b, 0], T, kind,
+                             add_keypad, 0, T, mul=_LOG2E)
+        outs.append(_attn_core(q_all[rows], k_all[rows], v_all[rows],
+                               bias, heads, dh, mode))
+    a_all = outs[0] if bb == 1 else jnp.concatenate(outs, axis=0)
+    r = x2d + _proj(_prep(a_all, mode), wo, bo_, mode)
+
+    # FF sublayer, r never leaving VMEM (post-LN torch layer)
+    x1 = _ln(r, g1, be1)
+    if ff_int8:
+        u = _int8_dot(x1, w1q, w1s[0]) + b1
+        h = _gelu_exact(u)
+        z = x1 + _int8_dot(h, w2q, w2s[0]) + b2
+    else:
+        u = _proj(_prep(x1, mode), w1, b1, mode)
+        h = _gelu_exact(u)
+        z = x1 + _proj(_prep(h, mode), w2, b2, mode)
+    y = _ln(z, g2, be2)
+    o_ref[...] = y.reshape(bb, T, D).astype(o_ref.dtype)
+
+
+def _enc_fwd_pallas(x, params, mask, valid, kind, add_keypad, heads,
+                    ff_int8=False):
+    (wq, bq_, wk, bk_, wv, bv_, wo, bo_, w1, b1, w2, b2,
+     g1, be1, g2, be2) = params
+    B, T, D = x.shape
+    FFD = w1.shape[1]
+    dh = D // heads
+    qscale = _LOG2E / math.sqrt(dh)
+    wq = wq * qscale
+    bq_ = bq_ * qscale
+    if valid is None:
+        valid = jnp.ones((B, T), jnp.float32)
+    mode = _mxu_mode(x.dtype)
+    # f32 weights/intermediates double the bf16 footprint — single-row
+    # cells keep the worst case inside scoped VMEM
+    bb = 1 if (mode == "f32" or T * FFD * 4 * 3 > (4 << 20)) else 2
+    while B % bb:
+        bb //= 2
+
+    row_spec = pl.BlockSpec((bb, T, D), lambda b: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((bb, 1, T), lambda b: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def const_spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda b: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    if ff_int8:
+        def quant(w):
+            w = w.astype(jnp.float32)
+            sc = jnp.maximum(jnp.max(jnp.abs(w), axis=0, keepdims=True),
+                             1e-12) / 127.0
+            q = jnp.clip(jnp.round(w / sc), -127, 127).astype(jnp.int8)
+            return q, sc
+        w1q, w1s = quant(w1)
+        w2q, w2s = quant(w2)
+        w_ops = _prep_w([wq, wk, wv, wo], mode) + [w1q, w1s, w2q, w2s]
+    else:
+        w_ops = _prep_w([wq, wk, wv, wo, w1, w2], mode)
+    n_w = len(w_ops)
+    vecs = [v.reshape(1, -1).astype(jnp.float32)
+            for v in (bq_, bk_, bv_, bo_, b1, b2, g1, be1, g2, be2)]
+
+    return pl.pallas_call(
+        functools.partial(_enc_kernel, kind=kind, add_keypad=add_keypad,
+                          heads=heads, dh=dh, bb=bb, mode=mode, n_w=n_w,
+                          ff_int8=ff_int8),
+        grid=(B // bb,),
+        in_specs=[row_spec, vec_spec, vec_spec,
+                  *[const_spec(w.shape) for w in w_ops],
+                  *[const_spec(v.shape) for v in vecs]],
+        out_specs=row_spec,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+    )(x, mask[:, None, :], valid[:, None, :], *w_ops, *vecs)
+
+
+def encoder_layer_reference(x, params, mask, valid, kind, add_keypad,
+                            heads):
+    """Pure-XLA same math (backward + CPU fallback + test oracle)."""
+    (wq, bq_, wk, bk_, wv, bv_, wo, bo_, w1, b1, w2, b2,
+     g1, be1, g2, be2) = params
+    B, T, D = x.shape
+    dh = D // heads
+    q = (jnp.dot(x, wq) + bq_).reshape(B, T, heads, dh)
+    k = (jnp.dot(x, wk) + bk_).reshape(B, T, heads, dh)
+    v = (jnp.dot(x, wv) + bv_).reshape(B, T, heads, dh)
+    a, _ = _xla_attention(q, k, v, mask, valid, kind, add_keypad)
+    r = x + jnp.dot(a.reshape(B, T, D), wo) + bo_
+    x1 = _ln(r, g1, be1)
+    h = jax.nn.gelu(jnp.dot(x1, w1) + b1, approximate=False)
+    z = x1 + jnp.dot(h, w2) + b2
+    return _ln(z, g2, be2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def fused_encoder_layer(x, params, masks, kind="repeat-inc",
+                        add_keypad=False, heads=8, ff_int8=False):
+    """One whole torch-style encoder layer as ONE Pallas kernel.
+
+    ``params`` = (wq, bq, wk, bk, wv, bv, wo, bo, w1, b1, w2, b2,
+    g1, be1, g2, be2); ``masks`` = (frame_mask, valid | None).
+    ``ff_int8`` runs the FF matmuls int8-on-MXU with in-kernel dynamic
+    activation scales (serving; gradients follow the float reference)."""
+    mask, valid = masks
+    return _enc_fwd_pallas(x, params, mask, valid, kind, add_keypad,
+                           heads, ff_int8)
+
+
+def _enc_vjp_fwd(x, params, masks, kind, add_keypad, heads, ff_int8):
+    return (fused_encoder_layer(x, params, masks, kind, add_keypad,
+                                heads, ff_int8), (x, params, masks))
+
+
+def _enc_vjp_bwd(kind, add_keypad, heads, ff_int8, res, g):
+    x, params, masks = res
+    mask, valid = masks
+
+    def ref(x_, params_):
+        return encoder_layer_reference(x_, params_, mask, valid, kind,
+                                       add_keypad, heads)
+
+    _, vjp = jax.vjp(ref, x, params)
+    dx, dparams = vjp(g)
+    return dx, dparams, (None, None)
+
+
+fused_encoder_layer.defvjp(_enc_vjp_fwd, _enc_vjp_bwd)

@@ -143,6 +143,48 @@ def gather_to_host(x) -> np.ndarray:
     return np.asarray(multihost_utils.process_allgather(x, tiled=True))
 
 
+_CONCAT_JIT_CACHE: dict = {}
+
+
+def _concat_ravel_jit(n_leaves: int):
+    fn = _CONCAT_JIT_CACHE.get(n_leaves)
+    if fn is None:
+        import jax.numpy as jnp
+        fn = jax.jit(lambda *ls: jnp.concatenate([x.ravel() for x in ls]))
+        _CONCAT_JIT_CACHE[n_leaves] = fn
+    return fn
+
+
+def gather_tree_to_host(tree):
+    """Fetch a pytree of (possibly non-addressable) global arrays to every
+    host with ONE collective per dtype group instead of one per leaf.
+
+    Per-leaf gathers spin up a fresh CPU Gloo context each (the
+    checkpoint tree is ~100 leaves); every context is a rendezvous that
+    every rank must reach within Gloo's connect timeout, and per-leaf
+    compile-time skew across 4 contending processes was observed tripping
+    it ("Gloo context initialization failed: Connect timeout").  Batching
+    to one flat gather per dtype keeps values bit-exact and reduces the
+    rendezvous count by ~50x."""
+    leaves, treedef = jax.tree.flatten(tree)
+    if not is_multiprocess() or not leaves:
+        return jax.tree.map(gather_to_host, tree)
+    from collections import defaultdict
+    groups = defaultdict(list)
+    for i, leaf in enumerate(leaves):
+        groups[np.dtype(leaf.dtype).name].append(i)
+    out = [None] * len(leaves)
+    for idxs in groups.values():
+        flat = _concat_ravel_jit(len(idxs))(*[leaves[i] for i in idxs])
+        host = gather_to_host(flat)
+        off = 0
+        for i in idxs:
+            n = int(np.prod(leaves[i].shape)) if leaves[i].shape else 1
+            out[i] = host[off:off + n].reshape(leaves[i].shape)
+            off += n
+    return jax.tree.unflatten(treedef, out)
+
+
 def gather_concat(chunks) -> np.ndarray:
     """Concatenate per-step 1-D metric arrays and fetch to every host.
 

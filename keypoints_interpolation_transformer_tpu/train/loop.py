@@ -72,8 +72,8 @@ def _write_checkpoint(ckpt_path, snapshot):
     import orbax.checkpoint as ocp
 
     params_dev, opt_dev, step, epoch, min_loss, key = snapshot
-    host_params = jax.tree.map(dist.gather_to_host, params_dev)
-    host_opt = jax.tree.map(dist.gather_to_host, opt_dev)
+    host_params = dist.gather_tree_to_host(params_dev)
+    host_opt = dist.gather_tree_to_host(opt_dev)
     ckptr = _get_async_checkpointer()
     ckptr.wait_until_finished()
     ckptr.save(ckpt_path, args=ocp.args.StandardSave(host_params),

@@ -455,8 +455,11 @@ def test_model_sublayer_fusion_matches_unfused(rng):
     miss = jnp.asarray((rng.random((B, T)) < 0.3).astype(np.float32))
 
     def run(sub):
+        # sub=True + ff_impl="pallas" exercises the MERGED whole-layer
+        # kernel (ops/pallas/layer_fused.py) for the encoder layers
         model = KeypointCompleter(hidden_dim=32, num_layers=1, num_heads=4,
                                   attention_impl="pallas",
+                                  ff_impl="pallas" if sub else "xla",
                                   attn_sublayer_fusion=sub)
         with pltpu.force_tpu_interpret_mode(), \
                 jax.default_matmul_precision("highest"):
@@ -516,3 +519,22 @@ def test_ffn_int8_mode_close_to_float(rng):
     want = ffn.ffn_reference(r, w1, b1, w2, b2, one, zero, one, zero, True)
     err = float(jnp.max(jnp.abs(got - want)))
     assert err < 0.05, err
+
+
+def test_fused_int8_dense_bit_exact_vs_xla(rng):
+    """The fused quantize-matmul kernel computes the identical int8
+    arithmetic as the XLA chain (measured bit-exact on hardware too)."""
+    from keypoints_interpolation_transformer_tpu.eval.quantize import (
+        _int8_dense_xla, _quantize_kernel)
+    from keypoints_interpolation_transformer_tpu.ops.pallas.int8_matmul \
+        import fused_int8_dense
+
+    x = jnp.asarray(rng.normal(size=(40, 64)).astype(np.float32))
+    w = jnp.asarray((rng.normal(size=(64, 128)) * 0.1).astype(np.float32))
+    b = jnp.asarray((rng.normal(size=(128,)) * 0.02).astype(np.float32))
+    wq, ws = _quantize_kernel(w)
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_int8_dense(x, wq, ws, b)
+    want = _int8_dense_xla(x, wq, ws, b, jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
