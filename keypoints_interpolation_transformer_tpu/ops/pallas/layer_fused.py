@@ -183,6 +183,159 @@ def encoder_layer_reference(x, params, mask, valid, kind, add_keypad,
     return _ln(z, g2, be2)
 
 
+# ---------------------------------------------------------------------------
+# Decoder self-attention + cross-attention pair (the FF kernel then
+# absorbs norm2/norm3 as before)
+# ---------------------------------------------------------------------------
+
+
+def _dec_kernel(x_ref, mem_ref, smask_ref, svalid_ref, cmask_ref,
+                cvalid_ref, *rest, skind, sadd_keypad, ckind,
+                cadd_keypad, heads, dh, bb, mode, n_w):
+    w_refs = rest[:n_w]
+    b_refs = rest[n_w:n_w + 8]
+    g1_r, be1_r = rest[n_w + 8:n_w + 10]
+    o_ref = rest[-1]
+    per = n_w // 8
+    sq, sk, sv, so, cq, ck, cv, co = (
+        tuple(r[...] for r in w_refs[i * per:(i + 1) * per])
+        for i in range(8))
+    (sbq, sbk, sbv, sbo, cbq, cbk, cbv, cbo) = (
+        r[0].astype(jnp.float32) for r in b_refs)
+    g1, be1 = g1_r[0].astype(jnp.float32), be1_r[0].astype(jnp.float32)
+    T = x_ref.shape[1]
+    for b in range(bb):
+        x = x_ref[b].astype(jnp.float32)
+        xp = _prep(x, mode)
+        q = _proj(xp, sq, sbq, mode)
+        k = _proj(xp, sk, sbk, mode)
+        v = _proj(xp, sv, sbv, mode)
+        bias = _bias_terms_T(smask_ref[b, 0], svalid_ref[b, 0], T, skind,
+                             sadd_keypad, 0, T, mul=_LOG2E)
+        a = _attn_core(q, k, v, bias, heads, dh, mode)
+        x1 = _ln(x + _proj(_prep(a, mode), so, sbo, mode), g1, be1)
+        # cross attention over the encoder memory
+        m = mem_ref[b].astype(jnp.float32)
+        mp = _prep(m, mode)
+        x1p = _prep(x1, mode)
+        q2 = _proj(x1p, cq, cbq, mode)
+        k2 = _proj(mp, ck, cbk, mode)
+        v2 = _proj(mp, cv, cbv, mode)
+        cbias = _bias_terms_T(cmask_ref[b, 0], cvalid_ref[b, 0], T, ckind,
+                              cadd_keypad, 0, T, mul=_LOG2E)
+        a2 = _attn_core(q2, k2, v2, cbias, heads, dh, mode)
+        r = x1 + _proj(_prep(a2, mode), co, cbo, mode)
+        o_ref[b] = r.astype(o_ref.dtype)
+
+
+def _dec_fwd_pallas(x, memory, params, smask, svalid, cmask, cvalid,
+                    skind, sadd_keypad, ckind, cadd_keypad, heads):
+    (sqw, sqb, skw, skb, svw, svb, sow, sob,
+     cqw, cqb, ckw, ckb, cvw, cvb, cow, cob, g1, be1) = params
+    B, T, D = x.shape
+    dh = D // heads
+    qscale = _LOG2E / math.sqrt(dh)
+    sqw, sqb = sqw * qscale, sqb * qscale
+    cqw, cqb = cqw * qscale, cqb * qscale
+    if svalid is None:
+        svalid = jnp.ones((B, T), jnp.float32)
+    if cvalid is None:
+        cvalid = jnp.ones((B, T), jnp.float32)
+    mode = _mxu_mode(x.dtype)
+    bb = 1 if mode == "f32" else 2
+    while B % bb:
+        bb //= 2
+
+    row_spec = pl.BlockSpec((bb, T, D), lambda b: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((bb, 1, T), lambda b: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def const_spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda b: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    w_ops = _prep_w([sqw, skw, svw, sow, cqw, ckw, cvw, cow], mode)
+    n_w = len(w_ops)
+    vecs = [v.reshape(1, -1).astype(jnp.float32)
+            for v in (sqb, skb, svb, sob, cqb, ckb, cvb, cob, g1, be1)]
+
+    return pl.pallas_call(
+        functools.partial(_dec_kernel, skind=skind,
+                          sadd_keypad=sadd_keypad, ckind=ckind,
+                          cadd_keypad=cadd_keypad, heads=heads, dh=dh,
+                          bb=bb, mode=mode, n_w=n_w),
+        grid=(B // bb,),
+        in_specs=[row_spec, row_spec, vec_spec, vec_spec, vec_spec,
+                  vec_spec, *[const_spec(w.shape) for w in w_ops],
+                  *[const_spec(v.shape) for v in vecs]],
+        out_specs=row_spec,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+    )(x, memory, smask[:, None, :], svalid[:, None, :],
+      cmask[:, None, :], cvalid[:, None, :], *w_ops, *vecs)
+
+
+def decoder_selfcross_reference(x, memory, params, smask, svalid, cmask,
+                                cvalid, skind, sadd_keypad, ckind,
+                                cadd_keypad, heads):
+    """Pure-XLA same math (backward + CPU fallback + test oracle)."""
+    (sqw, sqb, skw, skb, svw, svb, sow, sob,
+     cqw, cqb, ckw, ckb, cvw, cvb, cow, cob, g1, be1) = params
+    B, T, D = x.shape
+    dh = D // heads
+    q = (jnp.dot(x, sqw) + sqb).reshape(B, T, heads, dh)
+    k = (jnp.dot(x, skw) + skb).reshape(B, T, heads, dh)
+    v = (jnp.dot(x, svw) + svb).reshape(B, T, heads, dh)
+    a, _ = _xla_attention(q, k, v, smask, svalid, skind, sadd_keypad)
+    x1 = _ln(x + jnp.dot(a.reshape(B, T, D), sow) + sob, g1, be1)
+    q2 = (jnp.dot(x1, cqw) + cqb).reshape(B, T, heads, dh)
+    k2 = (jnp.dot(memory, ckw) + ckb).reshape(B, T, heads, dh)
+    v2 = (jnp.dot(memory, cvw) + cvb).reshape(B, T, heads, dh)
+    a2, _ = _xla_attention(q2, k2, v2, cmask, cvalid, ckind, cadd_keypad)
+    return x1 + jnp.dot(a2.reshape(B, T, D), cow) + cob
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def fused_decoder_selfcross(x, memory, params, masks, skind="repeat-inc",
+                            sadd_keypad=False, ckind="all",
+                            cadd_keypad=False, heads=8):
+    """Decoder self-attn + LN1 + cross-attn (+ residuals) as ONE kernel.
+
+    ``params`` = (self q/k/v/o w+b x8, cross q/k/v/o w+b x8, g1, be1);
+    ``masks`` = (self_mask, self_valid, cross_mask, cross_valid)."""
+    smask, svalid, cmask, cvalid = masks
+    return _dec_fwd_pallas(x, memory, params, smask, svalid, cmask,
+                           cvalid, skind, sadd_keypad, ckind, cadd_keypad,
+                           heads)
+
+
+def _dec_vjp_fwd(x, memory, params, masks, skind, sadd_keypad, ckind,
+                 cadd_keypad, heads):
+    return (fused_decoder_selfcross(x, memory, params, masks, skind,
+                                    sadd_keypad, ckind, cadd_keypad,
+                                    heads), (x, memory, params, masks))
+
+
+def _dec_vjp_bwd(skind, sadd_keypad, ckind, cadd_keypad, heads, res, g):
+    x, memory, params, masks = res
+    smask, svalid, cmask, cvalid = masks
+
+    def ref(x_, memory_, params_):
+        return decoder_selfcross_reference(
+            x_, memory_, params_, smask, svalid, cmask, cvalid, skind,
+            sadd_keypad, ckind, cadd_keypad, heads)
+
+    _, vjp = jax.vjp(ref, x, memory, params)
+    dx, dmem, dparams = vjp(g)
+    return dx, dmem, dparams, (None, None, None, None)
+
+
+fused_decoder_selfcross.defvjp(_dec_vjp_fwd, _dec_vjp_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def fused_encoder_layer(x, params, masks, kind="repeat-inc",
                         add_keypad=False, heads=8, ff_int8=False):
