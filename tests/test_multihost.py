@@ -221,22 +221,23 @@ def test_kill_one_rank_then_resume_from_full_state(tmp_path):
     assert len(ref) == 4
 
     # launch 2 ranks; watch rank0's stdout until epoch 1's full_state has
-    # COMMITTED (dir present, no orbax tmp sibling), then SIGKILL rank 1
-    import socket
-    with socket.socket() as s:      # a free port: fixed ports collide with
-        s.bind(("", 0))             # leftovers of earlier aborted runs
-        port = s.getsockname()[1]
+    # COMMITTED (dir present, no orbax tmp sibling), then SIGKILL rank 1.
+    # Launch retried (then skipped) on the sandbox's single-core Gloo
+    # rendezvous flake, like _run_multi.
+    import pytest
+
     run_args = ARGS + epochs + [
         "--checkpoint_dir", str(tmp_path / "cm"),
         "--results_dir", str(tmp_path / "rm"),
         "--experiment_name", "mh_kill"]
-    env = _base_env(tmp_path, 4)
-    env["PYTHONUNBUFFERED"] = "1"
-    procs = launch_local(2, run_args, port=port,
-                         cpu_devices_per_process=4, env=env)
     run_dir = tmp_path / "cm" / "mh_kill"
     full_state = run_dir / "full_state"
-    try:
+    procs = None
+    for attempt in range(2):
+        env = _base_env(tmp_path, 4)
+        env["PYTHONUNBUFFERED"] = "1"
+        procs = launch_local(2, run_args, port=_free_port(),
+                             cpu_devices_per_process=4, env=env)
         saw_epoch1 = False
         rank0_lines = []
         for line in procs[0].stdout:
@@ -244,8 +245,23 @@ def test_kill_one_rank_then_resume_from_full_state(tmp_path):
             if re.search(r"epoch 1:", line):
                 saw_epoch1 = True
                 break
-        assert saw_epoch1, \
-            "rank0 exited before epoch 1:\n" + "".join(rank0_lines[-40:])
+        if saw_epoch1:
+            break
+        for p_ in procs:
+            p_.kill()
+        for p_ in procs:
+            try:
+                p_.communicate(timeout=60)
+            except Exception:
+                pass
+        text = "".join(rank0_lines)
+        if not any(m in text for m in _GLOO_FLAKE):
+            assert False, "rank0 exited before epoch 1:\n" + \
+                "".join(rank0_lines[-40:])
+        if attempt == 1:
+            pytest.skip("Gloo rendezvous timed out 2x on the launch leg "
+                        "(single-CPU-core sandbox)")
+    try:
         deadline = _time.time() + 120
         while _time.time() < deadline:
             tmps = list(run_dir.glob("*orbax*tmp*")) + \
