@@ -305,26 +305,39 @@ class DecoderLayer(nn.Module):
                 and _use_sublayer_kernel(cross_fused, x.shape[1], self.dim)
                 and memory.shape[1] == x.shape[1]):
             # both decoder attention sublayers in ONE kernel: the
-            # post-self-attn activations never touch HBM
-            from ..ops.pallas.layer_fused import fused_decoder_selfcross
+            # post-self-attn activations never touch HBM; when the FF
+            # weights also fit VMEM the FF tail fuses in — a WHOLE
+            # decoder layer per kernel
+            from ..ops.pallas.layer_fused import (
+                decoder_full_supported, fused_decoder_selfcross)
             mha_s = _MHAParams(self.dim, name="self_attn")()
             ln1 = _LayerNormParams(self.dim, name="norm1")()
             mha_c = _MHAParams(self.dim, name="cross_attn")()
-            r = fused_decoder_selfcross(
-                x, memory, (*mha_s, *mha_c, *ln1),
-                (self_fused["mask"], self_fused.get("valid"),
-                 cross_fused["mask"], cross_fused.get("valid")),
-                self_fused.get("kind", "repeat-inc"),
-                self_fused.get("add_keypad", False),
-                cross_fused.get("kind", "all"),
-                cross_fused.get("add_keypad", False), self.num_heads)
             impl = resolve_ff_impl(self.ff_impl)
-            if impl in ("pallas", "pallas-int8"):
-                from ..ops.pallas.ffn import fused_ffn
+            full = (impl == "pallas"
+                    and decoder_full_supported(x.shape[1], self.dim,
+                                               self.ff_dim))
+            ff_params = None
+            if full or impl in ("pallas", "pallas-int8"):
                 g2, be2 = _LayerNormParams(self.dim, name="norm2")()
                 w1, b1, w2, b2 = _FFParams(self.dim, self.ff_dim,
                                            name="ff")()
                 g3, be3 = _LayerNormParams(self.dim, name="norm3")()
+                if full:
+                    ff_params = (w1, b1, w2, b2, g2, be2, g3, be3)
+            r = fused_decoder_selfcross(
+                x, memory, (*mha_s, *mha_c, *ln1),
+                (self_fused["mask"], self_fused.get("valid"),
+                 cross_fused["mask"], cross_fused.get("valid")),
+                ff_params,
+                self_fused.get("kind", "repeat-inc"),
+                self_fused.get("add_keypad", False),
+                cross_fused.get("kind", "all"),
+                cross_fused.get("add_keypad", False), self.num_heads)
+            if full:
+                return r
+            if impl in ("pallas", "pallas-int8"):
+                from ..ops.pallas.ffn import fused_ffn
                 return fused_ffn(r, w1, b1, w2, b2, g2, be2, g3, be3,
                                  True, impl == "pallas-int8")
             x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,

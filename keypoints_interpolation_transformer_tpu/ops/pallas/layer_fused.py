@@ -41,6 +41,13 @@ def fused_layer_supported(T: int, D: int, ff_dim: int) -> bool:
     return T <= _MAX_T and T % 8 == 0 and wbytes <= (8 << 20)
 
 
+def decoder_full_supported(T: int, D: int, ff_dim: int) -> bool:
+    """Whole-decoder-layer fusion: 8 attention weights + the FF pair
+    stationary (bb is pinned to 1 for this variant)."""
+    wbytes = 6 * (8 * D * D + 2 * D * ff_dim)
+    return T <= _MAX_T and T % 8 == 0 and wbytes <= (10 << 20)
+
+
 def _prep_w(ws, mode):
     if mode == "bf16x3":
         return [_stack_weight_3x(w) for w in ws]
@@ -184,25 +191,32 @@ def encoder_layer_reference(x, params, mask, valid, kind, add_keypad,
 
 
 # ---------------------------------------------------------------------------
-# Decoder self-attention + cross-attention pair (the FF kernel then
-# absorbs norm2/norm3 as before)
+# Decoder self-attention + cross-attention pair, optionally with the FF
+# tail fused in too (with_ff: a whole decoder layer in ONE kernel)
 # ---------------------------------------------------------------------------
 
 
 def _dec_kernel(x_ref, mem_ref, smask_ref, svalid_ref, cmask_ref,
                 cvalid_ref, *rest, skind, sadd_keypad, ckind,
-                cadd_keypad, heads, dh, bb, mode, n_w):
+                cadd_keypad, heads, dh, bb, mode, n_w, with_ff):
     w_refs = rest[:n_w]
+    n_attn_w = n_w - (2 if with_ff else 0)
     b_refs = rest[n_w:n_w + 8]
-    g1_r, be1_r = rest[n_w + 8:n_w + 10]
+    ln_tail = rest[n_w + 8:-1]
+    g1_r, be1_r = ln_tail[:2]
     o_ref = rest[-1]
-    per = n_w // 8
+    per = n_attn_w // 8
     sq, sk, sv, so, cq, ck, cv, co = (
         tuple(r[...] for r in w_refs[i * per:(i + 1) * per])
         for i in range(8))
     (sbq, sbk, sbv, sbo, cbq, cbk, cbv, cbo) = (
         r[0].astype(jnp.float32) for r in b_refs)
     g1, be1 = g1_r[0].astype(jnp.float32), be1_r[0].astype(jnp.float32)
+    if with_ff:
+        w1 = (w_refs[n_attn_w][...],)
+        w2 = (w_refs[n_attn_w + 1][...],)
+        b1, b2, g2, be2, g3, be3 = (r[0].astype(jnp.float32)
+                                    for r in ln_tail[2:8])
     T = x_ref.shape[1]
     for b in range(bb):
         x = x_ref[b].astype(jnp.float32)
@@ -225,11 +239,18 @@ def _dec_kernel(x_ref, mem_ref, smask_ref, svalid_ref, cmask_ref,
                               cadd_keypad, 0, T, mul=_LOG2E)
         a2 = _attn_core(q2, k2, v2, cbias, heads, dh, mode)
         r = x1 + _proj(_prep(a2, mode), co, cbo, mode)
+        if with_ff:
+            x2 = _ln(r, g2, be2)
+            u = _proj(_prep(x2, mode), w1, b1, mode)
+            h = _gelu_exact(u)
+            z = x2 + _proj(_prep(h, mode), w2, b2, mode)
+            r = _ln(z, g3, be3)
         o_ref[b] = r.astype(o_ref.dtype)
 
 
 def _dec_fwd_pallas(x, memory, params, smask, svalid, cmask, cvalid,
-                    skind, sadd_keypad, ckind, cadd_keypad, heads):
+                    skind, sadd_keypad, ckind, cadd_keypad, heads,
+                    ff_params=None):
     (sqw, sqb, skw, skb, svw, svb, sow, sob,
      cqw, cqb, ckw, ckb, cvw, cvb, cow, cob, g1, be1) = params
     B, T, D = x.shape
@@ -242,7 +263,8 @@ def _dec_fwd_pallas(x, memory, params, smask, svalid, cmask, cvalid,
     if cvalid is None:
         cvalid = jnp.ones((B, T), jnp.float32)
     mode = _mxu_mode(x.dtype)
-    bb = 1 if mode == "f32" else 2
+    with_ff = ff_params is not None
+    bb = 1 if (mode == "f32" or with_ff) else 2
     while B % bb:
         bb //= 2
 
@@ -257,15 +279,20 @@ def _dec_fwd_pallas(x, memory, params, smask, svalid, cmask, cvalid,
                             memory_space=pltpu.VMEM)
 
     w_ops = _prep_w([sqw, skw, svw, sow, cqw, ckw, cvw, cow], mode)
-    n_w = len(w_ops)
     vecs = [v.reshape(1, -1).astype(jnp.float32)
             for v in (sqb, skb, svb, sob, cqb, ckb, cvb, cob, g1, be1)]
+    if with_ff:
+        w1, b1, w2, b2, g2, be2, g3, be3 = ff_params
+        w_ops += _prep_w([w1, w2], mode)
+        vecs += [v.reshape(1, -1).astype(jnp.float32)
+                 for v in (b1, b2, g2, be2, g3, be3)]
+    n_w = len(w_ops)
 
     return pl.pallas_call(
         functools.partial(_dec_kernel, skind=skind,
                           sadd_keypad=sadd_keypad, ckind=ckind,
                           cadd_keypad=cadd_keypad, heads=heads, dh=dh,
-                          bb=bb, mode=mode, n_w=n_w),
+                          bb=bb, mode=mode, n_w=n_w, with_ff=with_ff),
         grid=(B // bb,),
         in_specs=[row_spec, row_spec, vec_spec, vec_spec, vec_spec,
                   vec_spec, *[const_spec(w.shape) for w in w_ops],
@@ -280,7 +307,7 @@ def _dec_fwd_pallas(x, memory, params, smask, svalid, cmask, cvalid,
 
 def decoder_selfcross_reference(x, memory, params, smask, svalid, cmask,
                                 cvalid, skind, sadd_keypad, ckind,
-                                cadd_keypad, heads):
+                                cadd_keypad, heads, ff_params=None):
     """Pure-XLA same math (backward + CPU fallback + test oracle)."""
     (sqw, sqb, skw, skb, svw, svb, sow, sob,
      cqw, cqb, ckw, ckb, cvw, cvb, cow, cob, g1, be1) = params
@@ -295,42 +322,59 @@ def decoder_selfcross_reference(x, memory, params, smask, svalid, cmask,
     k2 = (jnp.dot(memory, ckw) + ckb).reshape(B, T, heads, dh)
     v2 = (jnp.dot(memory, cvw) + cvb).reshape(B, T, heads, dh)
     a2, _ = _xla_attention(q2, k2, v2, cmask, cvalid, ckind, cadd_keypad)
-    return x1 + jnp.dot(a2.reshape(B, T, D), cow) + cob
+    r = x1 + jnp.dot(a2.reshape(B, T, D), cow) + cob
+    if ff_params is not None:
+        w1, b1, w2, b2, g2, be2, g3, be3 = ff_params
+        x2 = _ln(r, g2, be2)
+        h = jax.nn.gelu(jnp.dot(x2, w1) + b1, approximate=False)
+        r = _ln(x2 + jnp.dot(h, w2) + b2, g3, be3)
+    return r
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
-def fused_decoder_selfcross(x, memory, params, masks, skind="repeat-inc",
-                            sadd_keypad=False, ckind="all",
-                            cadd_keypad=False, heads=8):
-    """Decoder self-attn + LN1 + cross-attn (+ residuals) as ONE kernel.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def fused_decoder_selfcross(x, memory, params, masks, ff_params=None,
+                            skind="repeat-inc", sadd_keypad=False,
+                            ckind="all", cadd_keypad=False, heads=8):
+    """Decoder self-attn + LN1 + cross-attn (+ residuals) as ONE kernel;
+    with ``ff_params`` = (w1, b1, w2, b2, g2, be2, g3, be3) the FF tail
+    (LN2 -> FF -> residual -> LN3) fuses in too — a WHOLE decoder layer.
 
     ``params`` = (self q/k/v/o w+b x8, cross q/k/v/o w+b x8, g1, be1);
     ``masks`` = (self_mask, self_valid, cross_mask, cross_valid)."""
     smask, svalid, cmask, cvalid = masks
     return _dec_fwd_pallas(x, memory, params, smask, svalid, cmask,
                            cvalid, skind, sadd_keypad, ckind, cadd_keypad,
-                           heads)
+                           heads, ff_params)
 
 
-def _dec_vjp_fwd(x, memory, params, masks, skind, sadd_keypad, ckind,
-                 cadd_keypad, heads):
-    return (fused_decoder_selfcross(x, memory, params, masks, skind,
-                                    sadd_keypad, ckind, cadd_keypad,
-                                    heads), (x, memory, params, masks))
+def _dec_vjp_fwd(x, memory, params, masks, ff_params, skind, sadd_keypad,
+                 ckind, cadd_keypad, heads):
+    return (fused_decoder_selfcross(x, memory, params, masks, ff_params,
+                                    skind, sadd_keypad, ckind,
+                                    cadd_keypad, heads),
+            (x, memory, params, masks, ff_params))
 
 
 def _dec_vjp_bwd(skind, sadd_keypad, ckind, cadd_keypad, heads, res, g):
-    x, memory, params, masks = res
+    x, memory, params, masks, ff_params = res
     smask, svalid, cmask, cvalid = masks
 
-    def ref(x_, memory_, params_):
-        return decoder_selfcross_reference(
-            x_, memory_, params_, smask, svalid, cmask, cvalid, skind,
-            sadd_keypad, ckind, cadd_keypad, heads)
-
-    _, vjp = jax.vjp(ref, x, memory, params)
-    dx, dmem, dparams = vjp(g)
-    return dx, dmem, dparams, (None, None, None, None)
+    if ff_params is None:
+        def ref(x_, memory_, params_):
+            return decoder_selfcross_reference(
+                x_, memory_, params_, smask, svalid, cmask, cvalid,
+                skind, sadd_keypad, ckind, cadd_keypad, heads)
+        _, vjp = jax.vjp(ref, x, memory, params)
+        dx, dmem, dparams = vjp(g)
+        dff = None
+    else:
+        def ref(x_, memory_, params_, ff_):
+            return decoder_selfcross_reference(
+                x_, memory_, params_, smask, svalid, cmask, cvalid,
+                skind, sadd_keypad, ckind, cadd_keypad, heads, ff_)
+        _, vjp = jax.vjp(ref, x, memory, params, ff_params)
+        dx, dmem, dparams, dff = vjp(g)
+    return dx, dmem, dparams, (None, None, None, None), dff
 
 
 fused_decoder_selfcross.defvjp(_dec_vjp_fwd, _dec_vjp_bwd)

@@ -538,3 +538,68 @@ def test_fused_int8_dense_bit_exact_vs_xla(rng):
     want = _int8_dense_xla(x, wq, ws, b, jnp.float32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("with_ff", [False, True])
+def test_fused_decoder_layer_matches_reference(rng, with_ff):
+    """Merged decoder self+cross (+optional FF tail) kernel vs the XLA
+    reference, forward and gradients."""
+    from keypoints_interpolation_transformer_tpu.ops.pallas.layer_fused \
+        import decoder_selfcross_reference, fused_decoder_selfcross
+
+    B, T, H, dh, FF = 2, 32, 4, 16, 128
+    D = H * dh
+    x = jnp.asarray(rng.normal(size=(B, T, D)).astype(np.float32))
+    mem = jnp.asarray(rng.normal(size=(B, T, D)).astype(np.float32))
+    ws = [jnp.asarray((rng.normal(size=(D, D)) * 0.1).astype(np.float32))
+          for _ in range(8)]
+    bs = [jnp.asarray((rng.normal(size=(D,)) * 0.02).astype(np.float32))
+          for _ in range(8)]
+    g1 = jnp.asarray((1 + 0.1 * rng.normal(size=(D,))).astype(np.float32))
+    be1 = jnp.asarray((0.1 * rng.normal(size=(D,))).astype(np.float32))
+    params = tuple(v for pair in zip(ws, bs) for v in pair) + (g1, be1)
+    if with_ff:
+        ff = (jnp.asarray((rng.normal(size=(D, FF)) * 0.05).astype(
+                  np.float32)),
+              jnp.asarray((rng.normal(size=(FF,)) * 0.01).astype(
+                  np.float32)),
+              jnp.asarray((rng.normal(size=(FF, D)) * 0.05).astype(
+                  np.float32)),
+              jnp.asarray((rng.normal(size=(D,)) * 0.01).astype(
+                  np.float32)),
+              jnp.ones((D,), jnp.float32), jnp.zeros((D,), jnp.float32),
+              jnp.ones((D,), jnp.float32), jnp.zeros((D,), jnp.float32))
+    else:
+        ff = None
+    smask = jnp.asarray((rng.random((B, T)) < 0.3).astype(np.float32))
+    cmask = jnp.zeros((B, T), jnp.float32)
+    valid = jnp.ones((B, T), jnp.float32)
+    masks = (smask, valid, cmask, valid)
+
+    with jax.default_matmul_precision("highest"), \
+            pltpu.force_tpu_interpret_mode():
+        got = fused_decoder_selfcross(x, mem, params, masks, ff,
+                                      "repeat-inc", True, "all", False, 4)
+    want = decoder_selfcross_reference(x, mem, params, smask, valid,
+                                       cmask, valid, "repeat-inc", True,
+                                       "all", False, 4, ff)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5)
+
+    def lf(x, mem, params):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(fused_decoder_selfcross(
+                x, mem, params, masks, ff, "repeat-inc", True, "all",
+                False, 4) ** 2)
+
+    def lr(x, mem, params):
+        return jnp.sum(decoder_selfcross_reference(
+            x, mem, params, smask, valid, cmask, valid, "repeat-inc",
+            True, "all", False, 4, ff) ** 2)
+
+    with jax.default_matmul_precision("highest"):
+        gs = jax.grad(lf, argnums=(0, 1, 2))(x, mem, params)
+        wsg = jax.grad(lr, argnums=(0, 1, 2))(x, mem, params)
+    for a, b in zip(jax.tree.leaves(gs), jax.tree.leaves(wsg)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
