@@ -106,6 +106,11 @@ class KeypointCompleter(nn.Module):
     # + residual [+ LN]) into one Pallas kernel when the pallas path is
     # active and T allows full-VMEM residency (ops/pallas/attn_sublayer.py)
     attn_sublayer_fusion: bool = True
+    # merge sublayer PAIRS into whole-layer kernels (layer_fused.py) when
+    # supported — the fastest inference path.  Training sets this False:
+    # the merged kernels' backward is an XLA recompute, while the
+    # per-sublayer kernels have native residual-fed Pallas backwards.
+    merge_layers: bool = True
     # "pallas" (via "auto" on TPU): fused LN+FF+residual+LN sublayer kernel
     # (ops/pallas/ffn.py); "xla": flax FeedForward + LayerNorms
     ff_impl: str = "auto"
@@ -142,11 +147,6 @@ class KeypointCompleter(nn.Module):
         x = inputs.reshape(B, T, -1).astype(self.dtype)
         f = filled.reshape(B, T, -1).astype(self.dtype)
 
-        input_emb = nn.Dense(self.hidden_dim, dtype=self.dtype,
-                             name="input_embedding")(x)
-        filled_emb = nn.Dense(self.hidden_dim, dtype=self.dtype,
-                              name="filled_embedding")(f)
-
         pe = sinusoidal_positional_encoding(
             self.pe_max_len, self.hidden_dim, self.dtype)[:T]
         learned_in = self.param(
@@ -159,20 +159,39 @@ class KeypointCompleter(nn.Module):
         # width cap: the three stacked SwiGLU weights are VMEM-stationary
         # (18*D^2 bytes under bf16x3) — D=1024 overflows the 16 MB scoped
         # limit by 2 MB; wider models take the XLA chain
+        # sequence_parallel excluded like the sublayer-fusion gate below:
+        # an unpartitioned pallas_call cannot take mesh-sharded (B, T, D)
+        # activations on the token axis
         use_pw = (resolve_pointwise_impl(self.pointwise_impl) == "pallas"
                   and self.hidden_dim % 128 == 0 and T % 8 == 0
-                  and self.hidden_dim <= 512)
+                  and self.hidden_dim <= 512
+                  and not self.sequence_parallel)
         if use_pw:
-            from ..ops.pallas.pointwise import fused_pre_stream
+            # the 108-wide embedding Dense folds INTO the pre-stream
+            # kernel (lane-padded to 128): the narrow matmul stops
+            # wasting 20 of 128 MXU lanes as a standalone op and the
+            # (B, T, D) embeddings never round-trip HBM.  Param trees
+            # stay identical to the nn.Dense path (checkpoint compat).
+            from ..ops.pallas.pointwise import fused_pre_stream_embed
+            w_in, b_in = _DenseParams(x.shape[-1], self.hidden_dim,
+                                      name="input_embedding")()
+            w_fill, b_fill = _DenseParams(f.shape[-1], self.hidden_dim,
+                                          name="filled_embedding")()
             sw_in = _SwiGLUParams(self.hidden_dim,
                                   name="swiglu_input_prev")()
             sw_fill = _SwiGLUParams(self.hidden_dim,
                                     name="swiglu_filled_prev")()
-            src = fused_pre_stream(input_emb, pe + learned_in[0],
-                                   *sw_in, self.pe_residual)
-            tgt = fused_pre_stream(filled_emb, pe + learned_fill[0],
-                                   *sw_fill, self.pe_residual)
+            src = fused_pre_stream_embed(x, w_in, b_in,
+                                         pe + learned_in[0],
+                                         *sw_in, self.pe_residual, False)
+            tgt, filled_emb = fused_pre_stream_embed(
+                f, w_fill, b_fill, pe + learned_fill[0],
+                *sw_fill, self.pe_residual, True)
         else:
+            input_emb = nn.Dense(self.hidden_dim, dtype=self.dtype,
+                                 name="input_embedding")(x)
+            filled_emb = nn.Dense(self.hidden_dim, dtype=self.dtype,
+                                  name="filled_embedding")(f)
             input_norm = token_norm(input_emb)
             filled_norm = token_norm(filled_emb)
             if self.pe_residual:  # Cycle pre-PE residual (model.py:283)
@@ -212,6 +231,7 @@ class KeypointCompleter(nn.Module):
                 else "all",
                 "add_keypad": src_frame_mask is not None,
                 "sublayer": sub,
+                "merge": self.merge_layers,
             }
             tgt_fused = {
                 "mask": tgt_frame_mask if tgt_frame_mask is not None
@@ -222,10 +242,11 @@ class KeypointCompleter(nn.Module):
                 "add_keypad": (self.use_tgt_key_padding
                                and tgt_frame_mask is not None),
                 "sublayer": sub,
+                "merge": self.merge_layers,
             }
             cross_fused = {"mask": zeros, "valid": valid_mask,
                            "kind": "all", "add_keypad": False,
-                           "sublayer": sub}
+                           "sublayer": sub, "merge": self.merge_layers}
         else:
             enc_bias = _expand_bias(src_bias, B)
             if src_frame_mask is not None:

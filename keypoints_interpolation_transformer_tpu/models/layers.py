@@ -249,7 +249,8 @@ class EncoderLayer(nn.Module):
     def __call__(self, x, bias=None, fused=None):
         impl = resolve_ff_impl(self.ff_impl)
         use_sub = _use_sublayer_kernel(fused, x.shape[1], self.dim)
-        if use_sub and impl in ("pallas", "pallas-int8"):
+        if (use_sub and impl in ("pallas", "pallas-int8")
+                and fused.get("merge", True)):
             from ..ops.pallas.layer_fused import (fused_encoder_layer,
                                                   fused_layer_supported)
             if fused_layer_supported(x.shape[1], self.dim, self.ff_dim):
@@ -303,7 +304,8 @@ class DecoderLayer(nn.Module):
                  self_fused=None, cross_fused=None):
         if (_use_sublayer_kernel(self_fused, x.shape[1], self.dim)
                 and _use_sublayer_kernel(cross_fused, x.shape[1], self.dim)
-                and memory.shape[1] == x.shape[1]):
+                and memory.shape[1] == x.shape[1]
+                and self_fused.get("merge", True)):
             # both decoder attention sublayers in ONE kernel: the
             # post-self-attn activations never touch HBM; when the FF
             # weights also fit VMEM the FF tail fuses in — a WHOLE

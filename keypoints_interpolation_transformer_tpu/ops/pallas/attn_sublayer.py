@@ -32,8 +32,13 @@ Design (v5e):
     lax.reduce_precision (an astype round-trip gets folded by XLA's
     excess-precision simplifier on runtime inputs — see
     ops/pallas/ffn._split_hi_lo).
-  * Backward is the XLA recompute of identical math via jax.custom_vjp
-    (gradient numerics follow the XLA path), as for the FFN kernel.
+  * Backward (bf16/bf16x3 on TPU) is a NATIVE Pallas kernel fed by
+    residuals the training forward saves (q/k/v, the attention output a,
+    the softmax probabilities, and the pre-LN residual): no score,
+    softmax, or projection recompute — only the gradient matmuls, with
+    dW/db/dLN accumulated in VMEM across batch cells (the ffn.py
+    pattern).  f32-highest keeps the XLA-recompute VJP for exact XLA
+    gradient numerics.
 
 The reference applies these sublayers inside torch's TransformerEncoder/
 DecoderLayer (model.py:84-90, batch_first=False); this kernel is the
@@ -84,7 +89,7 @@ def _proj(x_parts, w_parts, b, mode):
     return _dot(x_parts, w_parts, ((1,), (0,)), mode) + b
 
 
-def _attn_core(q, k, v, bias, heads, dh, mode):
+def _attn_core(q, k, v, bias, heads, dh, mode, want_probs=False):
     """(T, D) f32 q/k/v -> (T, D) f32 attention output, transposed-score
     wide-softmax layout (see ops/pallas/attention._attn_kernel).
 
@@ -92,11 +97,17 @@ def _attn_core(q, k, v, bias, heads, dh, mode):
     q-projection weights (free, outside the kernel) and log2(e) into the
     bias's finite terms, so the scores are log2-domain and the softmax
     runs as exp2 — the VPU-native exponential — with no per-head
-    scaling pass."""
+    scaling pass.
+
+    ``want_probs`` (training forward) also returns the (T_k, H*T_q) f32
+    softmax probabilities (head h at columns h*T..(h+1)*T, key-major) —
+    the residual that lets the native backward skip the score+softmax
+    recompute entirely."""
     T = q.shape[0]
     hg = _head_group(heads, T, T, mode)
     qp, kp, vp = _prep(q, mode), _prep(k, mode), _prep(v, mode)
     outs = []
+    probs = []
     for g in range(0, heads, hg):
         sts = []
         for h in range(g, g + hg):
@@ -106,13 +117,19 @@ def _attn_core(q, k, v, bias, heads, dh, mode):
         wide = sts[0] if hg == 1 else jnp.concatenate(sts, axis=1)
         wide = wide - jnp.max(wide, axis=0, keepdims=True)
         e = jnp.exp2(wide)
-        w = _prob_parts(e * (1.0 / jnp.sum(e, axis=0, keepdims=True)),
-                        mode)
+        wf = e * (1.0 / jnp.sum(e, axis=0, keepdims=True))
+        if want_probs:
+            probs.append(wf)
+        w = _prob_parts(wf, mode)
         for i, h in enumerate(range(g, g + hg)):
             wh = _slice_parts(w, i * T, (i + 1) * T)
             vh = _slice_parts(vp, h * dh, (h + 1) * dh)
             outs.append(_prob_dot(wh, vh, ((0,), (0,)), mode))
-    return jnp.concatenate(outs, axis=1)
+    out = jnp.concatenate(outs, axis=1)
+    if want_probs:
+        return out, (probs[0] if len(probs) == 1
+                     else jnp.concatenate(probs, axis=1))
+    return out
 
 
 def _sublayer_kernel(x_ref, mem_ref, mask_ref, valid_ref, *rest, kind,
@@ -151,6 +168,56 @@ def _sublayer_kernel(x_ref, mem_ref, mask_ref, valid_ref, *rest, kind,
         o_ref[b] = r.astype(o_ref.dtype)
 
 
+def _sublayer_train_kernel(x_ref, mem_ref, mask_ref, valid_ref, *rest,
+                           kind, add_keypad, heads, dh, bb, mode,
+                           post_ln, n_w, qs):
+    """Training forward: same math as _sublayer_kernel but with UNFOLDED
+    q weights (the scale*log2e fold happens in-kernel so the saved q
+    residual is the plain projection output) and residual outputs
+    (q, k, v, a, probs[, r]) for the native backward."""
+    w_refs = rest[:n_w]
+    b_refs = rest[n_w:n_w + 4]
+    n_out = 7 if post_ln else 6
+    ln_refs = rest[n_w + 4:-n_out]
+    outs = rest[-n_out:]
+    o_ref, q_ref, k_ref, v_ref, a_ref, w_ref = outs[:6]
+    r_ref = outs[6] if post_ln else None
+    per = n_w // 4
+    wq, wk, wv, wo = (tuple(r[...] for r in w_refs[i * per:(i + 1) * per])
+                      for i in range(4))
+    bq_, bk_, bv_, bo_ = (r[0].astype(jnp.float32) for r in b_refs)
+    T = x_ref.shape[1]
+    for b in range(bb):
+        x = x_ref[b].astype(jnp.float32)
+        xp = _prep(x, mode)
+        if mem_ref is x_ref:
+            mp = xp
+        else:
+            mp = _prep(mem_ref[b].astype(jnp.float32), mode)
+        q = _proj(xp, wq, bq_, mode)          # UNSCALED (saved residual)
+        k = _proj(mp, wk, bk_, mode)
+        v = _proj(mp, wv, bv_, mode)
+        bias = _bias_terms_T(mask_ref[b, 0], valid_ref[b, 0], T, kind,
+                             add_keypad, 0, T, mul=_LOG2E)
+        a, w = _attn_core(q * qs, k, v, bias, heads, dh, mode,
+                          want_probs=True)
+        r = x + _proj(_prep(a, mode), wo, bo_, mode)
+        q_ref[b] = q
+        k_ref[b] = k
+        v_ref[b] = v
+        a_ref[b] = a
+        # probs residual in bf16 under the fast modes: halves the largest
+        # residual's HBM traffic, and matches the forward's bf16
+        # probability-feed error model (the AV matmul already consumes
+        # bf16 probs); f32 under mode "f32" (gradient-parity tests)
+        w_ref[b] = w.astype(w_ref.dtype)
+        if post_ln:
+            r_ref[b] = r
+            r = _ln(r, ln_refs[0][0].astype(jnp.float32),
+                    ln_refs[1][0].astype(jnp.float32))
+        o_ref[b] = r.astype(o_ref.dtype)
+
+
 def _batch_block_sublayer(B, T, D, mode):
     """Rows per grid cell: ~6 (T, D) f32 live tensors + score scratch per
     batch row, double-buffered x/mem/out blocks; budget ~10 MB scoped."""
@@ -172,20 +239,27 @@ def fused_attn_sublayer_supported(T: int, D: int = 0) -> bool:
 
 
 def _fwd_pallas(x, memory, params, mask, valid, kind, add_keypad, post_ln,
-                heads):
+                heads, want_residuals=False):
     wq, bq_, wk, bk_, wv, bv_, wo, bo_, ln_scale, ln_bias = params
     B, T, D = x.shape
     dh = D // heads
-    # fold 1/sqrt(dh) * log2(e) into the q projection — free (the scaled
-    # weights are computed once outside the kernel), and the softmax then
-    # runs as exp2 on log2-domain scores (see _attn_core)
     qscale = _LOG2E / math.sqrt(dh)
-    wq = wq * qscale
-    bq_ = bq_ * qscale
+    if not want_residuals:
+        # fold 1/sqrt(dh) * log2(e) into the q projection — free (the
+        # scaled weights are computed once outside the kernel), and the
+        # softmax then runs as exp2 on log2-domain scores (_attn_core).
+        # The training variant folds IN-KERNEL instead so the saved q
+        # residual is the plain projection output.
+        wq = wq * qscale
+        bq_ = bq_ * qscale
     if valid is None:
         valid = jnp.ones((B, T), jnp.float32)
     mode = _mxu_mode(x.dtype)
     bb = _batch_block_sublayer(B, T, D, mode)
+    if want_residuals:
+        # the residual outputs (5-6 extra (bb, T, D)/(bb, T, H*T) blocks)
+        # roughly triple the per-cell VMEM footprint
+        bb = min(bb, 2)
     self_attn = memory is None
 
     row_spec = pl.BlockSpec((bb, T, D), lambda b: (b, 0, 0),
@@ -221,6 +295,41 @@ def _fwd_pallas(x, memory, params, mask, valid, kind, add_keypad, post_ln,
              *[const_spec(b.shape) for b in b_ops],
              *[const_spec(p.shape) for p in ln_ops]]
 
+    if want_residuals:
+        def kernel(x_ref, *refs):
+            if self_attn:
+                mem_ref, rest = x_ref, refs
+            else:
+                mem_ref, rest = refs[0], refs[1:]
+            _sublayer_train_kernel(
+                x_ref, mem_ref, rest[0], rest[1], *rest[2:],
+                kind=kind, add_keypad=add_keypad, heads=heads, dh=dh,
+                bb=bb, mode=mode, post_ln=post_ln, n_w=n_w, qs=qscale)
+
+        f32row = jax.ShapeDtypeStruct((B, T, D), jnp.float32)
+        prob_spec = pl.BlockSpec((bb, T, heads * T), lambda b: (b, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        prob_dt = jnp.float32 if mode == "f32" else jnp.bfloat16
+        out_shape = [jax.ShapeDtypeStruct(x.shape, x.dtype),
+                     f32row, f32row, f32row, f32row,
+                     jax.ShapeDtypeStruct((B, T, heads * T), prob_dt)]
+        out_specs = [row_spec] * 5 + [prob_spec]
+        if post_ln:
+            out_shape.append(f32row)
+            out_specs.append(row_spec)
+        outs = pl.pallas_call(
+            kernel,
+            grid=(B // bb,),
+            in_specs=specs,
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shape),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
+        )(*operands)
+        y, q, k, v, a, w = outs[:6]
+        r = outs[6] if post_ln else None
+        return y, (q, k, v, a, w, r)
+
     def kernel(x_ref, *refs):
         if self_attn:
             mem_ref, rest = x_ref, refs
@@ -239,6 +348,220 @@ def _fwd_pallas(x, memory, params, mask, valid, kind, add_keypad, post_ln,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
     )(*operands)
+
+
+# ---------------------------------------------------------------------------
+# Native Pallas backward: residual-fed (q/k/v/a/probs saved by the training
+# forward), so there is NO score/softmax/projection recompute — only the
+# gradient matmuls, with the LN backward fused and dW/db accumulated in
+# VMEM across the sequentially-visited batch cells (the ffn.py pattern).
+# ---------------------------------------------------------------------------
+
+
+def _sublayer_bwd_kernel(*refs, self_attn, post_ln, heads, dh, bb, mode,
+                         n_w, scale):
+    from .ffn import _ln_bwd
+    x_ref, dy_ref, q_ref, k_ref, v_ref, a_ref, w_ref = refs[:7]
+    idx = 7
+    mem_ref = None
+    if not self_attn:
+        mem_ref = refs[idx]
+        idx += 1
+    r_ref = None
+    if post_ln:
+        r_ref = refs[idx]
+        idx += 1
+    w_refs = refs[idx:idx + n_w]
+    idx += n_w
+    if post_ln:
+        g_r = refs[idx]
+        idx += 1
+    outs = refs[idx:]
+    oi = 0
+    dx_ref = outs[oi]
+    oi += 1
+    if not self_attn:
+        dmem_ref = outs[oi]
+        oi += 1
+    (dwq_ref, dbq_ref, dwk_ref, dbk_ref, dwv_ref, dbv_ref,
+     dwo_ref, dbo_ref) = outs[oi:oi + 8]
+    oi += 8
+    if post_ln:
+        dg_ref, dbe_ref = outs[oi:oi + 2]
+
+    per = n_w // 4
+    wq, wk, wv, wo = (tuple(r[...] for r in w_refs[i * per:(i + 1) * per])
+                      for i in range(4))
+
+    accs = [dwq_ref, dbq_ref, dwk_ref, dbk_ref, dwv_ref, dbv_ref,
+            dwo_ref, dbo_ref] + ([dg_ref, dbe_ref] if post_ln else [])
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for ref in accs:
+            ref[...] = jnp.zeros_like(ref)
+
+    T = x_ref.shape[1]
+    for b in range(bb):
+        x = x_ref[b].astype(jnp.float32)
+        dy = dy_ref[b].astype(jnp.float32)
+        if post_ln:
+            dr, n2 = _ln_bwd(dy, r_ref[b], g_r[0])
+            dg_ref[...] += jnp.sum(dy * n2, axis=0, keepdims=True)
+            dbe_ref[...] += jnp.sum(dy, axis=0, keepdims=True)
+        else:
+            dr = dy
+        a = a_ref[b]
+        drp = _prep(dr, mode)
+        dbo_ref[...] += jnp.sum(dr, axis=0, keepdims=True)
+        dwo_ref[...] += _dot(_prep(a, mode), drp, ((0,), (0,)), mode)
+        da = _dot(drp, wo, ((1,), (1,)), mode)            # dr @ Wo^T
+        qp = _prep(q_ref[b], mode)
+        kp = _prep(k_ref[b], mode)
+        vp = _prep(v_ref[b], mode)
+        wprob = w_ref[b]                                  # (Tk, H*Tq) f32
+        dap = _prep(da, mode)
+        dqs, dks, dvs = [], [], []
+        for h in range(heads):
+            lo, hi = h * dh, (h + 1) * dh
+            gh = _slice_parts(dap, lo, hi)                # (Tq, dh)
+            vh = _slice_parts(vp, lo, hi)
+            qh = _slice_parts(qp, lo, hi)
+            kh = _slice_parts(kp, lo, hi)
+            wt = jax.lax.slice_in_dim(wprob, h * T, (h + 1) * T,
+                                      axis=1).astype(jnp.float32)
+            wl = _prob_parts(wt, mode)
+            dvs.append(_prob_dot(wl, gh, ((1,), (0,)), mode))   # (Tk, dh)
+            gw = _dot(vh, gh, ((1,), (1,)), mode)               # (Tk, Tq)
+            tmp = gw - jnp.sum(gw * wt, axis=0, keepdims=True)
+            dl = _prep((wt * tmp) * scale, mode)
+            dqs.append(_dot(dl, kh, ((0,), (0,)), mode))        # (Tq, dh)
+            dks.append(_dot(dl, qh, ((1,), (0,)), mode))        # (Tk, dh)
+        dq = jnp.concatenate(dqs, axis=1)
+        dk = jnp.concatenate(dks, axis=1)
+        dv = jnp.concatenate(dvs, axis=1)
+        dbq_ref[...] += jnp.sum(dq, axis=0, keepdims=True)
+        dbk_ref[...] += jnp.sum(dk, axis=0, keepdims=True)
+        dbv_ref[...] += jnp.sum(dv, axis=0, keepdims=True)
+        xp = _prep(x, mode)
+        mp = xp if self_attn else _prep(
+            mem_ref[b].astype(jnp.float32), mode)
+        dqp = _prep(dq, mode)
+        dkp = _prep(dk, mode)
+        dvp = _prep(dv, mode)
+        dwq_ref[...] += _dot(xp, dqp, ((0,), (0,)), mode)
+        dwk_ref[...] += _dot(mp, dkp, ((0,), (0,)), mode)
+        dwv_ref[...] += _dot(mp, dvp, ((0,), (0,)), mode)
+        dxq = _dot(dqp, wq, ((1,), (1,)), mode)           # dq @ Wq^T
+        dxk = _dot(dkp, wk, ((1,), (1,)), mode)
+        dxv = _dot(dvp, wv, ((1,), (1,)), mode)
+        if self_attn:
+            dx_ref[b] = (dr + dxq + dxk + dxv).astype(dx_ref.dtype)
+        else:
+            dx_ref[b] = (dr + dxq).astype(dx_ref.dtype)
+            dmem_ref[b] = (dxk + dxv).astype(dmem_ref.dtype)
+
+
+def _bwd_batch_block(B, T, D, heads):
+    """bb for the backward grid: ~10 row tensors + the probs block,
+    double-buffered, within ~8 MB."""
+    per_row = (10 * T * D * 4 + T * heads * T * 4) * 2
+    for bb in (8, 4, 2, 1):
+        if B % bb == 0 and bb * per_row <= (8 << 20):
+            return bb
+    return 1
+
+
+def _bwd_pallas(x, memory, params, residuals, g, post_ln, heads):
+    from .ffn import _split_hi_lo
+    wq, bq_, wk, bk_, wv, bv_, wo, bo_, ln_scale, ln_bias = params
+    q, k, v, a, w, r = residuals
+    B, T, D = x.shape
+    dh = D // heads
+    scale = 1.0 / math.sqrt(dh)
+    mode = _mxu_mode(x.dtype)
+    self_attn = memory is None
+
+    if mode == "bf16x3":
+        w_ops = [p for wx in (wq, wk, wv, wo)
+                 for p in _split_hi_lo(wx.astype(jnp.float32))]
+    elif mode == "bf16":
+        w_ops = [wx.astype(jnp.bfloat16) for wx in (wq, wk, wv, wo)]
+    else:
+        w_ops = [wx.astype(jnp.float32) for wx in (wq, wk, wv, wo)]
+    n_w = len(w_ops)
+
+    bb = _bwd_batch_block(B, T, D, heads)
+    row_spec = pl.BlockSpec((bb, T, D), lambda b: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    prob_spec = pl.BlockSpec((bb, T, heads * T), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+
+    def const_spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda b: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    operands = [x, g, q, k, v, a, w]
+    specs = [row_spec] * 6 + [prob_spec]
+    if not self_attn:
+        operands.append(memory)
+        specs.append(row_spec)
+    if post_ln:
+        operands.append(r)
+        specs.append(row_spec)
+    operands += w_ops
+    specs += [const_spec(wx.shape) for wx in w_ops]
+    if post_ln:
+        gln = ln_scale.reshape(1, D).astype(jnp.float32)
+        operands.append(gln)
+        specs.append(const_spec(gln.shape))
+
+    dW = jax.ShapeDtypeStruct((D, D), jnp.float32)
+    db = jax.ShapeDtypeStruct((1, D), jnp.float32)
+    out_shape = [jax.ShapeDtypeStruct(x.shape, x.dtype)]
+    out_specs = [row_spec]
+    if not self_attn:
+        out_shape.append(jax.ShapeDtypeStruct(memory.shape, memory.dtype))
+        out_specs.append(row_spec)
+    out_shape += [dW, db] * 4
+    out_specs += [const_spec((D, D)), const_spec((1, D))] * 4
+    if post_ln:
+        out_shape += [db, db]
+        out_specs += [const_spec((1, D))] * 2
+
+    outs = pl.pallas_call(
+        functools.partial(_sublayer_bwd_kernel, self_attn=self_attn,
+                          post_ln=post_ln, heads=heads, dh=dh, bb=bb,
+                          mode=mode, n_w=n_w, scale=scale),
+        grid=(B // bb,),
+        in_specs=specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(*operands)
+
+    oi = 0
+    dx = outs[oi]
+    oi += 1
+    dmem = None
+    if not self_attn:
+        dmem = outs[oi]
+        oi += 1
+    dwq, dbq, dwk, dbk, dwv, dbv, dwo, dbo = outs[oi:oi + 8]
+    oi += 8
+    if post_ln:
+        dg, dbe = outs[oi][0].astype(ln_scale.dtype), \
+            outs[oi + 1][0].astype(ln_bias.dtype)
+    else:
+        dg, dbe = jnp.zeros_like(ln_scale), jnp.zeros_like(ln_bias)
+    dparams = (dwq.astype(wq.dtype), dbq[0].astype(bq_.dtype),
+               dwk.astype(wk.dtype), dbk[0].astype(bk_.dtype),
+               dwv.astype(wv.dtype), dbv[0].astype(bv_.dtype),
+               dwo.astype(wo.dtype), dbo[0].astype(bo_.dtype),
+               dg, dbe)
+    return dx, dmem, dparams
 
 
 def attn_sublayer_reference(x, memory, params, mask, valid, kind,
@@ -273,15 +596,38 @@ def fused_attn_sublayer(x, memory, params, masks, kind="repeat-inc",
                        post_ln, heads)
 
 
+# native residual-fed backward ("1", default); "0" restores the XLA
+# recompute VJP (A/B + gradient-numerics knob)
+import os as _os
+_SUB_BWD_NATIVE = _os.environ.get("KIT_ATTN_SUBLAYER_BWD", "1") == "1"
+
+
+def _sub_bwd_native_ok(dtype) -> bool:
+    from ...models.completer import _attention_platform
+    return (_SUB_BWD_NATIVE and _mxu_mode(dtype) in ("bf16", "bf16x3")
+            and _attention_platform() == "tpu")
+
+
 def _vjp_fwd(x, memory, params, masks, kind, add_keypad, post_ln, heads):
+    mask, valid = masks
+    if _sub_bwd_native_ok(x.dtype):
+        out, res = _fwd_pallas(x, memory, params, mask, valid, kind,
+                               add_keypad, post_ln, heads,
+                               want_residuals=True)
+        return out, (x, memory, params, masks, res)
     out = fused_attn_sublayer(x, memory, params, masks, kind, add_keypad,
                               post_ln, heads)
-    return out, (x, memory, params, masks)
+    return out, (x, memory, params, masks, None)
 
 
 def _vjp_bwd(kind, add_keypad, post_ln, heads, res, g):
-    x, memory, params, masks = res
+    x, memory, params, masks, residuals = res
     mask, valid = masks
+
+    if residuals is not None:
+        dx, dmem, dparams = _bwd_pallas(x, memory, params, residuals, g,
+                                        post_ln, heads)
+        return dx, dmem, dparams, (None, None)
 
     if memory is None:
         def ref(x_, params_):

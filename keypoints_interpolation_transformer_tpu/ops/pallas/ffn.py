@@ -30,9 +30,12 @@ Design (v5e):
                     Mosaic cannot lower Precision.HIGH in-kernel
                     (memory: mosaic-precision-pitfalls)
       - highest  -> f32 operands with Precision.HIGHEST (multi-pass)
-  * Backward is the XLA recompute of the same math via jax.custom_vjp —
-    gradient numerics follow the XLA path; the forward win also applies
-    to the train step's forward half.
+  * Backward (bf16/bf16x3 on TPU) is a NATIVE Pallas kernel
+    (_ffn_bwd_pallas): the training forward saves the pre-GELU u and
+    pre-LN2 z residuals so the backward runs recompute-free — 4 gradient
+    matmuls with the LN/GELU backward fused, dW/db/dLN accumulated in
+    VMEM across row cells.  f32-highest and the quantized mode keep the
+    XLA-recompute VJP (exact XLA gradient numerics for parity work).
 """
 
 from __future__ import annotations
@@ -159,6 +162,8 @@ def _gelu_exact(x):
 
 
 def _body(x1, r, w1_parts, w2_parts, b1, b2, g2, be2, mode):
+    """Returns (y, u, z) — u/z are the training residuals (pre-GELU
+    activation and pre-LN2 sum); inference writers discard them."""
     if mode == "bf16x3":
         u = _dot3(x1, w1_parts[0]) + b1
         h = _gelu_exact(u)
@@ -173,7 +178,7 @@ def _body(x1, r, w1_parts, w2_parts, b1, b2, g2, be2, mode):
         u = _dot1(x1, w1_parts[0], jax.lax.Precision.HIGHEST) + b1
         h = _gelu_exact(u)
         z = x1 + _dot1(h, w2_parts[0], jax.lax.Precision.HIGHEST) + b2
-    return _ln(z, g2, be2)
+    return _ln(z, g2, be2), u, z
 
 
 # sub-blocks interleaved inside a cell: the per-half dependency chains
@@ -193,25 +198,31 @@ def _row_halves(R):
 
 
 def _kernel_split(r_ref, w1s, w2s, b1, b2, g1, be1, g2, be2,
-                  o_ref, *, pre_ln):
+                  o_ref, *res_refs, pre_ln):
     w1_parts = (w1s[...],)
     w2_parts = (w2s[...],)
     for lo, hi in _row_halves(r_ref.shape[0]):
         r = r_ref[lo:hi].astype(jnp.float32)
         x1 = _ln(r, g1[0], be1[0]) if pre_ln else r
-        o_ref[lo:hi] = _body(x1, r, w1_parts, w2_parts,
-                             b1[0], b2[0], g2[0], be2[0],
-                             "bf16x3").astype(o_ref.dtype)
+        y, u, z = _body(x1, r, w1_parts, w2_parts,
+                        b1[0], b2[0], g2[0], be2[0], "bf16x3")
+        o_ref[lo:hi] = y.astype(o_ref.dtype)
+        if res_refs:  # training: save u (pre-GELU) and z (pre-LN2)
+            res_refs[0][lo:hi] = u
+            res_refs[1][lo:hi] = z
 
 
-def _kernel_single(r_ref, w1, w2, b1, b2, g1, be1, g2, be2, o_ref, *,
-                   pre_ln, mode):
+def _kernel_single(r_ref, w1, w2, b1, b2, g1, be1, g2, be2, o_ref,
+                   *res_refs, pre_ln, mode):
     for lo, hi in _row_halves(r_ref.shape[0]):
         r = r_ref[lo:hi].astype(jnp.float32)
         x1 = _ln(r, g1[0], be1[0]) if pre_ln else r
-        o_ref[lo:hi] = _body(x1, r, (w1[...],), (w2[...],),
-                             b1[0], b2[0], g2[0], be2[0],
-                             mode).astype(o_ref.dtype)
+        y, u, z = _body(x1, r, (w1[...],), (w2[...],),
+                        b1[0], b2[0], g2[0], be2[0], mode)
+        o_ref[lo:hi] = y.astype(o_ref.dtype)
+        if res_refs:
+            res_refs[0][lo:hi] = u
+            res_refs[1][lo:hi] = z
 
 
 def _quant_rows(x):
@@ -245,7 +256,12 @@ def _kernel_int8(r_ref, w1q, w1s, w2q, w2s, b1, b2, g1, be1, g2, be2,
 
 
 def _ffn_fwd_pallas(r, w1, b1, w2, b2, g1, be1, g2, be2, pre_ln,
-                    quantized=False):
+                    quantized=False, want_residuals=False):
+    """Forward kernel.  ``want_residuals`` (training) adds two outputs —
+    u = x1@W1+b1 (pre-GELU) and z = x1 + gelu(u)@W2+b2 (pre-LN2), both
+    f32 — so the native backward needs NO forward-recompute matmuls
+    (the round-3 recompute cost two extra 3-pass matmuls per cell and
+    made the fused path lose under grad at bf16x3)."""
     orig_shape = r.shape
     D = orig_shape[-1]
     FFD = w1.shape[1]
@@ -277,6 +293,9 @@ def _ffn_fwd_pallas(r, w1, b1, w2, b2, g1, be1, g2, be2, pre_ln,
                             approximate=False)
             z = x1 + _int8_dense_xla(h, q2, s2, b2, jnp.float32)
             return _ln(z, g2, be2).astype(r.dtype)
+        if want_residuals:
+            return _ffn_reference_with_residuals(
+                r, w1, b1, w2, b2, g1, be1, g2, be2, pre_ln)
         return ffn_reference(r, w1, b1, w2, b2, g1, be1, g2, be2, pre_ln)
     if wbytes > (4 << 20):
         R = min(R, 128)
@@ -329,18 +348,45 @@ def _ffn_fwd_pallas(r, w1, b1, w2, b2, g1, be1, g2, be2, pre_ln,
         kernel = functools.partial(_kernel_single, pre_ln=pre_ln,
                                    mode=mode)
 
+    out_specs = row_spec
+    out_shape = jax.ShapeDtypeStruct(x.shape, r.dtype)
+    if want_residuals:
+        u_spec = pl.BlockSpec((R, FFD), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
+        out_specs = (row_spec, u_spec, row_spec)
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((x.shape[0], FFD), jnp.float32),
+                     jax.ShapeDtypeStruct(x.shape, jnp.float32))
+
     out = pl.pallas_call(
         kernel,
         grid=(x.shape[0] // R,),
         in_specs=specs,
-        out_specs=row_spec,
-        out_shape=jax.ShapeDtypeStruct(x.shape, r.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
     )(*operands)
+    if want_residuals:
+        y, u, z = out
+        if pad:
+            y, u, z = y[:N], u[:N], z[:N]
+        return y.reshape(orig_shape), u, z
     if pad:
         out = out[:N]
     return out.reshape(orig_shape)
+
+
+def _ffn_reference_with_residuals(r, w1, b1, w2, b2, g1, be1, g2, be2,
+                                  pre_ln):
+    """XLA fallback of the want_residuals forward (same math)."""
+    D = r.shape[-1]
+    x = r.reshape(-1, D).astype(jnp.float32)
+    x1 = _ln(x, g1, be1) if pre_ln else x
+    u = jnp.dot(x1, w1) + b1
+    h = jax.nn.gelu(u, approximate=False)
+    z = x1 + jnp.dot(h, w2) + b2
+    return _ln(z, g2, be2).astype(r.dtype).reshape(r.shape), u, z
 
 
 # ---------------------------------------------------------------------------
@@ -396,7 +442,9 @@ def _gelu_grad(u):
     return cdf + u * phi
 
 
-def _ffn_bwd_kernel(r_ref, g_ref, *rest, pre_ln, mode, n_w):
+def _ffn_bwd_kernel(r_ref, g_ref, *rest, pre_ln, mode, n_w, has_uz):
+    if has_uz:
+        u_ref, z_ref, rest = rest[0], rest[1], rest[2:]
     w_refs = rest[:n_w]
     b1r, b2r, g1r, be1r, g2r, be2r = rest[n_w:n_w + 6]
     (dr_ref, dw1_ref, dw2_ref, db1_ref, db2_ref, dg1_ref, dbe1_ref,
@@ -421,7 +469,7 @@ def _ffn_bwd_kernel(r_ref, g_ref, *rest, pre_ln, mode, n_w):
     b1, b2 = b1r[0], b2r[0]
     g1, be1, g2, be2 = g1r[0], be1r[0], g2r[0], be2r[0]
 
-    # --- recompute the forward in VMEM -----------------------------------
+    # --- forward values: saved residuals (training fwd) or recompute ----
     if pre_ln:
         m1 = jnp.mean(r, axis=-1, keepdims=True)
         v1 = jnp.mean((r - m1) * (r - m1), axis=-1, keepdims=True)
@@ -431,10 +479,16 @@ def _ffn_bwd_kernel(r_ref, g_ref, *rest, pre_ln, mode, n_w):
     else:
         x1 = r
     x1p = _prep_act(x1, mode)
-    u = _dot_parts(x1p, w1p, ((1,), (0,)), mode) + b1
-    h = _gelu_exact(u)
-    hp = _prep_act(h, mode)
-    z = x1 + _dot_parts(hp, w2p, ((1,), (0,)), mode) + b2
+    if has_uz:
+        u = u_ref[...]
+        h = _gelu_exact(u)          # VPU-only; exact same fn as forward
+        hp = _prep_act(h, mode)
+        z = z_ref[...]
+    else:
+        u = _dot_parts(x1p, w1p, ((1,), (0,)), mode) + b1
+        h = _gelu_exact(u)
+        hp = _prep_act(h, mode)
+        z = x1 + _dot_parts(hp, w2p, ((1,), (0,)), mode) + b2
 
     # --- LN2 backward ----------------------------------------------------
     dz, n2 = _ln_bwd(g, z, g2)
@@ -466,23 +520,37 @@ def _ffn_bwd_kernel(r_ref, g_ref, *rest, pre_ln, mode, n_w):
     dr_ref[...] = dr.astype(dr_ref.dtype)
 
 
-def _ffn_bwd_pallas(r, g, w1, b1, w2, b2, g1, be1, g2, be2, pre_ln, mode):
-    """Full-sublayer backward as ONE kernel: the forward is recomputed in
-    VMEM per row block (same FLOPs as the XLA-recompute VJP, but the
-    (R, FF) intermediates and the int8/bf16 casts never touch HBM) and
-    the weight/bias/LN gradients accumulate in VMEM across the
-    sequentially-visited row cells."""
+def _ffn_bwd_pallas(r, g, w1, b1, w2, b2, g1, be1, g2, be2, pre_ln, mode,
+                    u=None, z=None):
+    """Full-sublayer backward as ONE kernel.  With ``u``/``z`` residuals
+    saved by the training forward there are NO forward-recompute matmuls
+    — only the 4 gradient matmuls, with LN/GELU backward fused and the
+    (R, FF) intermediates living in VMEM; weight/bias/LN gradients
+    accumulate in VMEM across the sequentially-visited row cells.
+    Without residuals the forward is recomputed in VMEM (2 extra
+    matmuls) — the pre-round-4 behavior, kept as fallback."""
     orig_shape = r.shape
     D = orig_shape[-1]
     FFD = w1.shape[1]
     x = r.reshape(-1, D)
     gg = g.reshape(-1, D)
     N = x.shape[0]
-    R = min(_BWD_ROW_BLOCK, max(8, N))
+    R = _BWD_ROW_BLOCK
+    if mode == "bf16x3" and D * FFD >= (1 << 18):
+        # bf16x3 triples the (R, FF) transient footprint (hi/lo splits of
+        # u/h/du/dh) on top of the 8 MB of stationary weights + dW
+        # accumulators; R=128 at the flagship width measured 23.4 MB of
+        # scoped VMEM (limit 16).
+        R = min(R, 64)
+    R = min(R, max(8, N))
     pad = (-N) % R
+    has_uz = u is not None
     if pad:
         x = jnp.pad(x, ((0, pad), (0, 0)))
         gg = jnp.pad(gg, ((0, pad), (0, 0)))
+        if has_uz:
+            u = jnp.pad(u, ((0, pad), (0, 0)))
+            z = jnp.pad(z, ((0, pad), (0, 0)))
 
     if mode == "bf16x3":
         w1p = _split_hi_lo(w1.astype(jnp.float32))
@@ -524,17 +592,24 @@ def _ffn_bwd_pallas(r, g, w1, b1, w2, b2, g1, be1, g2, be2, pre_ln, mode):
                  const_spec((1, D)), const_spec((1, D)),
                  const_spec((1, D)), const_spec((1, D)))
 
+    uz_ops, uz_specs = [], []
+    if has_uz:
+        uz_ops = [u, z]
+        uz_specs = [pl.BlockSpec((R, FFD), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM), row_spec]
+
     outs = pl.pallas_call(
         functools.partial(_ffn_bwd_kernel, pre_ln=pre_ln, mode=mode,
-                          n_w=n_w),
+                          n_w=n_w, has_uz=has_uz),
         grid=(x.shape[0] // R,),
-        in_specs=[row_spec, row_spec, *[const_spec(w.shape) for w in w_ops],
+        in_specs=[row_spec, row_spec, *uz_specs,
+                  *[const_spec(w.shape) for w in w_ops],
                   *[const_spec(v.shape) for v in vecs]],
         out_specs=out_specs,
         out_shape=tuple(out_shapes),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
-    )(x, gg, *w_ops, *vecs)
+    )(x, gg, *uz_ops, *w_ops, *vecs)
     dr, dw1, dw2, db1, db2, dg1, dbe1, dg2, dbe2 = outs
     if pad:
         dr = dr[:N]
@@ -548,6 +623,67 @@ def _ffn_bwd_pallas(r, g, w1, b1, w2, b2, g1, be1, g2, be2, pre_ln, mode):
             dw2.astype(w2.dtype), db2[0].astype(b2.dtype),
             dg1v, dbe1v,
             dg2[0].astype(g2.dtype), dbe2[0].astype(be2.dtype))
+
+
+def _ffn_bwd_xla_from_residuals(r, g, w1, b1, w2, b2, g1, be1, g2, be2,
+                                pre_ln, u, z):
+    """Residual-fed XLA backward: the saved u/z replace the forward
+    recompute (whose 2 extra matmuls made the round-3 recompute VJP lose
+    at bf16x3), and XLA's fusion handles the elementwise chains.  Used
+    where the monolithic Pallas backward's fixed VMEM cost (split
+    stationary weights + f32 dW accumulators, each double-buffered by
+    the Mosaic pipeline) exceeds scoped VMEM — measured 20.9-23.4 MB at
+    the flagship width under bf16x3 against the 16 MB limit."""
+    D = r.shape[-1]
+    x = r.reshape(-1, D).astype(jnp.float32)
+    gg = g.reshape(-1, D).astype(jnp.float32)
+
+    if pre_ln:
+        m1 = jnp.mean(x, axis=-1, keepdims=True)
+        v1 = jnp.mean((x - m1) * (x - m1), axis=-1, keepdims=True)
+        inv1 = jax.lax.rsqrt(v1 + LN_EPS)
+        n1 = (x - m1) * inv1
+        x1 = n1 * g1 + be1
+    else:
+        x1 = x
+    h = jax.nn.gelu(u, approximate=False)
+
+    # LN2 backward from z
+    m2 = jnp.mean(z, axis=-1, keepdims=True)
+    v2 = jnp.mean((z - m2) * (z - m2), axis=-1, keepdims=True)
+    inv2 = jax.lax.rsqrt(v2 + LN_EPS)
+    n2 = (z - m2) * inv2
+    dg2 = jnp.sum(gg * n2, axis=0)
+    dbe2 = jnp.sum(gg, axis=0)
+    dn2 = gg * g2
+    dz = (dn2 - jnp.mean(dn2, axis=-1, keepdims=True)
+          - n2 * jnp.mean(dn2 * n2, axis=-1, keepdims=True)) * inv2
+
+    db2 = jnp.sum(dz, axis=0)
+    dw2 = jnp.dot(h.T, dz)
+    dh = jnp.dot(dz, w2.T)
+    # exact-erf GELU derivative: Phi(u) + u * phi(u)
+    phi = jnp.exp(-0.5 * u * u) * 0.3989422804014327
+    cdf = 0.5 * (1.0 + jax.lax.erf(u * (2.0 ** -0.5)))
+    du = dh * (cdf + u * phi)
+    db1 = jnp.sum(du, axis=0)
+    dw1 = jnp.dot(x1.T, du)
+    dx1 = jnp.dot(du, w1.T) + dz
+
+    if pre_ln:
+        dg1 = jnp.sum(dx1 * n1, axis=0)
+        dbe1 = jnp.sum(dx1, axis=0)
+        dn1 = dx1 * g1
+        dr = (dn1 - jnp.mean(dn1, axis=-1, keepdims=True)
+              - n1 * jnp.mean(dn1 * n1, axis=-1, keepdims=True)) * inv1
+    else:
+        dg1, dbe1 = jnp.zeros_like(g1), jnp.zeros_like(be1)
+        dr = dx1
+    return (dr.reshape(r.shape).astype(r.dtype), dw1.astype(w1.dtype),
+            db1.astype(b1.dtype), dw2.astype(w2.dtype),
+            db2.astype(b2.dtype), dg1.astype(g1.dtype),
+            dbe1.astype(be1.dtype), dg2.astype(g2.dtype),
+            dbe2.astype(be2.dtype))
 
 
 def ffn_reference(r, w1, b1, w2, b2, g1, be1, g2, be2, pre_ln=False):
@@ -572,28 +708,52 @@ def fused_ffn(r, w1, b1, w2, b2, g1, be1, g2, be2, pre_ln=False,
                            quantized)
 
 
+# save u/z residuals from the training forward so the native backward
+# runs recompute-free ("1", default); "0" restores the round-3
+# recompute-in-VMEM backward (A/B knob)
+_BWD_SAVE = _os.environ.get("KIT_FFN_BWD_SAVE", "1") == "1"
+
+
+def _bwd_native_ok(quantized, mode, w1) -> bool:
+    from ...models.completer import _attention_platform
+    return (not quantized and mode in ("bf16", "bf16x3")
+            and _attention_platform() == "tpu"
+            and w1.shape[0] * w1.shape[1] <= 600_000)
+
+
 def _fused_ffn_vjp_fwd(r, w1, b1, w2, b2, g1, be1, g2, be2, pre_ln,
                        quantized):
+    mode = _precision_mode(r.dtype)
+    if _bwd_native_ok(quantized, mode, w1) and _BWD_SAVE:
+        out, u, z = _ffn_fwd_pallas(r, w1, b1, w2, b2, g1, be1, g2, be2,
+                                    pre_ln, quantized, want_residuals=True)
+        return out, (r, w1, b1, w2, b2, g1, be1, g2, be2, u, z)
     out = _ffn_fwd_pallas(r, w1, b1, w2, b2, g1, be1, g2, be2, pre_ln,
                           quantized)
     return out, (r, w1, b1, w2, b2, g1, be1, g2, be2)
 
 
 def _fused_ffn_vjp_bwd(pre_ln, quantized, res, g):
-    r, w1, b1, w2, b2, g1, be1, g2, be2 = res
+    r, w1, b1, w2, b2, g1, be1, g2, be2 = res[:9]
+    u, z = (res[9], res[10]) if len(res) > 9 else (None, None)
     mode = _precision_mode(r.dtype)
-    from ...models.completer import _attention_platform
-    use_pallas = (not quantized and mode in ("bf16", "bf16x3")
-                  and _attention_platform() == "tpu"
-                  and w1.shape[0] * w1.shape[1] <= 600_000)
-    if use_pallas:
-        # native fused backward: forward recomputed in VMEM, dW/db/dLN
-        # accumulated across row cells — the train step keeps the fused
-        # FF path instead of paying the XLA recompute's HBM round-trips.
-        # Gradient numerics: bf16/bf16x3 MXU passes and the rational-erf
-        # GELU derivative (vs XLA-precision + true erf on the fallback).
-        return _ffn_bwd_pallas(r, g, w1, b1, w2, b2, g1, be1, g2, be2,
-                               pre_ln, mode)
+    if _bwd_native_ok(quantized, mode, w1):
+        if mode == "bf16" and w1.shape[0] * w1.shape[1] * 6 <= (4 << 20):
+            # native fused backward: forward values come from the saved
+            # u/z residuals (recompute-free — 4 gradient matmuls only);
+            # dW/db/dLN accumulated across row cells.  Only bf16 fits:
+            # the split weights + f32 dW accumulators are each
+            # double-buffered by the pipeline, and the bf16x3 form's
+            # fixed cost alone exceeds the 16 MB scoped-VMEM limit at
+            # the flagship width (measured 20.9 MB).
+            return _ffn_bwd_pallas(r, g, w1, b1, w2, b2, g1, be1, g2,
+                                   be2, pre_ln, mode, u, z)
+        if u is not None:
+            # residual-fed XLA backward: no forward-recompute matmuls;
+            # ambient precision gives the XLA matmuls the same bf16x3
+            # error model as the forward kernel.
+            return _ffn_bwd_xla_from_residuals(
+                r, g, w1, b1, w2, b2, g1, be1, g2, be2, pre_ln, u, z)
     _, vjp = jax.vjp(
         lambda *a: ffn_reference(*a, pre_ln=pre_ln), r, w1, b1, w2, b2,
         g1, be1, g2, be2)

@@ -54,7 +54,9 @@ def fused_int8_dense(x, kernel_q, w_scale, bias, out_dtype=None):
     N = kernel_q.shape[1]
     x2 = x.reshape(-1, K)
     n_rows = x2.shape[0]
-    R = min(_ROW_BLOCK, max(8, n_rows))
+    # row block must be a sublane multiple (8) for Mosaic tiling; rows
+    # are padded up to a block multiple below
+    R = min(_ROW_BLOCK, ((max(8, n_rows) + 7) // 8) * 8)
     pad = (-n_rows) % R
     if pad:
         x2 = jnp.pad(x2, ((0, pad), (0, 0)))

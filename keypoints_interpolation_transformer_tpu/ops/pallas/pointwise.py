@@ -212,3 +212,108 @@ def _post_vjp_bwd(res, g):
 
 
 fused_post_head.defvjp(_post_vjp_fwd, _post_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Round 4: the 108-wide embedding Dense folded INTO the pre-stream kernel.
+# The reference embeds flattened frames with Linear(108 -> D)
+# (model.py:65-66); standalone that matmul wastes 20 of 128 MXU lanes and
+# round-trips the (B, T, D) embedding through HBM before the pointwise
+# chain.  Here the frame features are zero-padded to the 128-lane boundary
+# OUTSIDE the kernel (free: XLA fuses the pad into the producer) and the
+# whole  embed -> token_norm -> +PE -> SwiGLU  chain runs in one pass.
+# The filled stream's embedding is ALSO a residual input of the post-head
+# kernel (model.py:150), so the kernel can emit it as a second output.
+# ---------------------------------------------------------------------------
+
+
+def _pre_embed_kernel(x_ref, pe_ref, wemb, w1, w2, w3, bemb, b1, b2, b3,
+                      *out_refs, bb, mode, pe_residual, want_emb):
+    o_ref = out_refs[0]
+    e_ref = out_refs[1] if want_emb else None
+    for b in range(bb):
+        xf = x_ref[b].astype(jnp.float32)            # (T, Fp)
+        e = _proj(_prep(xf, mode), (wemb[...],), bemb[0], mode)
+        if want_emb:
+            e_ref[b] = e.astype(e_ref.dtype)
+        n = _token_norm(e)
+        n = (n + n + pe_ref[...].astype(jnp.float32) if pe_residual
+             else n + pe_ref[...].astype(jnp.float32))
+        s = _swiglu(n, (w1[...],), b1[0], (w2[...],), b2[0],
+                    (w3[...],), b3[0], mode)
+        o_ref[b] = s.astype(o_ref.dtype)
+
+
+def _pre_embed_pallas(x, wemb, bemb, pe_learned, w1, b1, w2, b2, w3, b3,
+                      pe_residual, want_emb):
+    B, T, F = x.shape
+    D = wemb.shape[1]
+    Fp = ((F + 127) // 128) * 128
+    if Fp != F:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, Fp - F)))
+        wemb = jnp.pad(wemb, ((0, Fp - F), (0, 0)))
+    mode = _mxu_mode(x.dtype)
+    bb = _row_block(B, T, max(D, Fp))
+    row_in = pl.BlockSpec((bb, T, Fp), lambda b: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
+    row_out = pl.BlockSpec((bb, T, D), lambda b: (b, 0, 0),
+                           memory_space=pltpu.VMEM)
+    ws = _prep_weights([wemb, w1, w2, w3], mode)
+    vecs = [v.reshape(1, -1).astype(jnp.float32)
+            for v in (bemb, b1, b2, b3)]
+    out_shape = [jax.ShapeDtypeStruct((B, T, D), x.dtype)]
+    out_specs = [row_out]
+    if want_emb:
+        out_shape.append(jax.ShapeDtypeStruct((B, T, D), x.dtype))
+        out_specs.append(row_out)
+    outs = pl.pallas_call(
+        functools.partial(_pre_embed_kernel, bb=bb, mode=mode,
+                          pe_residual=pe_residual, want_emb=want_emb),
+        grid=(B // bb,),
+        in_specs=[row_in, _const_spec((T, D)),
+                  *[_const_spec(w.shape) for w in ws],
+                  *[_const_spec(v.shape) for v in vecs]],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+    )(x, pe_learned.astype(jnp.float32), *ws, *vecs)
+    return outs if want_emb else outs[0]
+
+
+def pre_stream_embed_reference(x, wemb, bemb, pe_learned, w1, b1, w2, b2,
+                               w3, b3, pe_residual, want_emb):
+    """Pure-XLA same math (backward path + CPU fallback + test oracle)."""
+    e = jnp.dot(x.astype(jnp.float32), wemb) + bemb
+    s = pre_stream_reference(e, pe_learned, w1, b1, w2, b2, w3, b3,
+                             pe_residual)
+    if want_emb:
+        return s, e.astype(x.dtype)
+    return s
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11))
+def fused_pre_stream_embed(x, wemb, bemb, pe_learned, w1, b1, w2, b2,
+                           w3, b3, pe_residual=False, want_emb=False):
+    """Linear(F->D) embed + token_norm [+norm] + (pe+learned) + SwiGLU in
+    ONE lane-padded VMEM pass; ``want_emb`` also returns the embedding
+    (the filled stream's post-head residual, model.py:150)."""
+    return _pre_embed_pallas(x, wemb, bemb, pe_learned, w1, b1, w2, b2,
+                             w3, b3, pe_residual, want_emb)
+
+
+def _pre_embed_vjp_fwd(x, wemb, bemb, pe_learned, w1, b1, w2, b2, w3, b3,
+                       pe_residual, want_emb):
+    out = fused_pre_stream_embed(x, wemb, bemb, pe_learned, w1, b1, w2,
+                                 b2, w3, b3, pe_residual, want_emb)
+    return out, (x, wemb, bemb, pe_learned, w1, b1, w2, b2, w3, b3)
+
+
+def _pre_embed_vjp_bwd(pe_residual, want_emb, res, g):
+    _, vjp = jax.vjp(
+        lambda *a: pre_stream_embed_reference(
+            *a, pe_residual=pe_residual, want_emb=want_emb), *res)
+    return vjp(g)
+
+
+fused_pre_stream_embed.defvjp(_pre_embed_vjp_fwd, _pre_embed_vjp_bwd)

@@ -42,11 +42,13 @@ def build_model(model_cfg, variant: Optional[str] = None, *,
     """Construct the configured model.
 
     ``for_training`` resolves the "auto" fusion knobs for the grad path
-    (measured, RESULTS.md): per-op pallas attention (native fused Pallas
-    backward) instead of the sublayer kernel (whose backward is an XLA
-    recompute), XLA pointwise, and a precision-dependent FF — the fused
-    FF kernel's native Pallas backward wins at bf16, the XLA FF at
-    bf16x3/highest.  Explicit "on"/"pallas" settings still win.
+    (measured, RESULTS.md round 4): the per-SUBLAYER kernels (attention
+    sublayer + FF sublayer) with their native residual-fed Pallas
+    backwards at bf16/bf16x3, instead of the merged whole-layer kernels
+    (whose backward is an XLA recompute — a measured net loss under
+    grad); XLA pointwise; and XLA everything at "highest" (exact XLA
+    gradient numerics for parity work).  Explicit "on"/"pallas"/"off"
+    settings still win.
     """
     v = variant or model_cfg.variant
     dtype = jnp.dtype(model_cfg.compute_dtype)
@@ -57,22 +59,31 @@ def build_model(model_cfg, variant: Optional[str] = None, *,
     scan = getattr(model_cfg, "scan_layers", False)
     remat = getattr(model_cfg, "remat", False)
     sp = getattr(model_cfg, "sequence_parallel", False)
+    merge = True
     if for_training:
+        from ..models.completer import _attention_platform
+        on_tpu = _attention_platform() == "tpu"
+        prec = getattr(model_cfg, "matmul_precision", "highest")
+        fast = prec in ("default", "bfloat16", "fastest", "high",
+                        "tensorfloat32", "bfloat16_3x")
         if ff_impl == "auto":
-            # measured (benchmarks/train_step_bench.py, B=64 T=128): the
-            # fused FF kernel + its native Pallas backward wins at bf16
-            # (22.1 vs 24.4 ms/step) but loses at bf16x3 (37.6 vs 36.4 —
-            # the in-VMEM forward recompute costs 2 extra 3-pass matmuls
-            # that outweigh the HBM savings), and "highest" keeps XLA
-            # gradient numerics for parity work.
-            prec = getattr(model_cfg, "matmul_precision", "highest")
-            ff_impl = ("pallas" if prec in ("default", "bfloat16",
-                                            "fastest") else "xla")
+            # fused FF + its native recompute-free backward (the training
+            # forward saves the u/z residuals) wins at bf16 AND bf16x3;
+            # "highest" keeps XLA gradient numerics for parity work.
+            # Platform-gated: pallas kernels only lower on TPU.
+            ff_impl = "pallas" if (fast and on_tpu) else "xla"
         pw_impl = "xla" if pw_impl == "auto" else pw_impl
-        sub_flag = sub == "on"
+        # sublayer fusion now has a native residual-fed backward at
+        # bf16/bf16x3 (ops/pallas/attn_sublayer._bwd_pallas) — default it
+        # ON for fast precisions; the merged whole-layer kernels stay off
+        # under grad (their backward is an XLA recompute, measured net
+        # loss).  "highest" falls back to per-op kernels + XLA VJPs.
+        sub_flag = sub == "on" or (sub != "off" and fast and on_tpu)
+        merge = False
     else:
         sub_flag = sub != "off"
-    fused_kw = dict(attn_sublayer_fusion=sub_flag, pointwise_impl=pw_impl)
+    fused_kw = dict(attn_sublayer_fusion=sub_flag, pointwise_impl=pw_impl,
+                    merge_layers=merge)
     if v == "plain":
         return KeypointCompleter(
             hidden_dim=model_cfg.hidden_dim, num_layers=model_cfg.num_layers,
@@ -183,6 +194,11 @@ def cycle_forward(first_model, first_params, model, params,
     (A2_train_cycle.py:99-115)."""
     pred1 = completer_forward(first_model, first_params, x, x_no,
                               x_mask, y_mask, valid, "repeat-inc")
+    # the first model is FROZEN (A2 optimizes the cycle model only,
+    # A2_train_cycle.py:241): cutting the gradient here lets XLA drop the
+    # first model's entire backward (incl. residual saving) — the cycle
+    # model's parameter grads are computed at fixed inputs either way
+    pred1 = jax.lax.stop_gradient(pred1)
     ones = jnp.ones_like(x_mask)
     # "all" masks are zeros -> no attention bias; pad masks are all ones,
     # a uniform +1 on the logits (softmax no-op) reproduced for fidelity

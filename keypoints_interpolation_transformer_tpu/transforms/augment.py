@@ -101,6 +101,35 @@ def apply_homography(points, H):
 _UNIT_QUAD = jnp.array([[0.0, 1.0], [1.0, 1.0], [0.0, 0.0], [1.0, 0.0]])
 
 
+def perspective_from_unit_quad(dst):
+    """Closed-form homography mapping _UNIT_QUAD onto ``dst`` (rows in the
+    same order: (0,1), (1,1), (0,0), (1,0)).
+
+    Identical math to perspective_transform_matrix(_UNIT_QUAD, dst) — the
+    classic unit-square-to-quadrilateral texture-mapping solution — but
+    with NO linear solve: an 8x8 jnp.linalg.solve lowers to a batched tiny
+    LU on TPU, which measured as the dominant cost of the whole on-device
+    augmentation pipeline (it serializes scalar row operations; the vmapped
+    lax.switch evaluates BOTH shear branches for every video).
+    """
+    q01, q11, q00, q10 = dst[0], dst[1], dst[2], dst[3]
+    dx1 = q10 - q11
+    dx2 = q01 - q11
+    sx = q00 - q10 - q01 + q11
+    det = dx1[0] * dx2[1] - dx2[0] * dx1[1]
+    g = (sx[0] * dx2[1] - dx2[0] * sx[1]) / det
+    h = (dx1[0] * sx[1] - sx[0] * dx1[1]) / det
+    a = q10[0] - q00[0] + g * q10[0]
+    b = q01[0] - q00[0] + h * q01[0]
+    c = q00[0]
+    d = q10[1] - q00[1] + g * q10[1]
+    e = q01[1] - q00[1] + h * q01[1]
+    f = q00[1]
+    return jnp.stack([jnp.stack([a, b, c]),
+                      jnp.stack([d, e, f]),
+                      jnp.stack([g, h, jnp.ones(())])])
+
+
 def shear(key, video, kind: str, squeeze_ratio=(-0.15, 0.15), bm=None):
     """"squeeze" or "perspective" shear of the BODY points."""
     bm = bm or body_map()
@@ -135,7 +164,7 @@ def shear(key, video, kind: str, squeeze_ratio=(-0.15, 0.15), bm=None):
     else:
         raise ValueError(f"unsupported shear kind: {kind!r}")
 
-    H = perspective_transform_matrix(_UNIT_QUAD, dst)
+    H = perspective_from_unit_quad(dst)
     body = jnp.asarray(bm.body_identifiers)
     pts = apply_homography(video[:, body, :], H)
     zero_image = apply_homography(jnp.zeros(2), H)  # transformed (0, 0)

@@ -603,3 +603,155 @@ def test_fused_decoder_layer_matches_reference(rng, with_ff):
     for a, b in zip(jax.tree.leaves(gs), jax.tree.leaves(wsg)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-4)
+
+
+# ---- round-4 native residual-fed backwards --------------------------------
+
+
+@pytest.mark.parametrize("pre_ln", [False, True])
+def test_ffn_residual_forward_and_recompute_free_backward(rng, pre_ln):
+    """Training FF forward saves u (pre-GELU) and z (pre-LN2); the
+    backward fed those residuals matches the XLA reference VJP without
+    any forward-recompute matmuls."""
+    from keypoints_interpolation_transformer_tpu.ops.pallas import ffn
+
+    args = _ffn_operands(rng)
+    r, g_ops = args[0], args[1:]
+    g = jnp.asarray(rng.normal(size=r.shape).astype(np.float32))
+
+    with pltpu.force_tpu_interpret_mode(), \
+            jax.default_matmul_precision("highest"):
+        y0 = ffn._ffn_fwd_pallas(r, *g_ops, pre_ln)
+        y1, u, z = ffn._ffn_fwd_pallas(r, *g_ops, pre_ln,
+                                       want_residuals=True)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-6)
+
+    _, vjp = jax.vjp(lambda *a: ffn.ffn_reference(*a, pre_ln=pre_ln),
+                     r, *g_ops)
+    want = vjp(g)
+    with pltpu.force_tpu_interpret_mode():
+        got = ffn._ffn_bwd_pallas(r, g, *g_ops, pre_ln, "f32", u, z)
+    with jax.default_matmul_precision("highest"):
+        got_xla = ffn._ffn_bwd_xla_from_residuals(r, g, *g_ops, pre_ln,
+                                                  u, z)
+    for a, ax, b in zip(got, got_xla, want):
+        s = float(jnp.max(jnp.abs(b))) + 1e-9
+        np.testing.assert_allclose(np.asarray(a) / s, np.asarray(b) / s,
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(ax) / s, np.asarray(b) / s,
+                                   atol=1e-5)
+
+
+@pytest.mark.parametrize("self_attn,post_ln", [(True, False), (True, True),
+                                               (False, False)])
+def test_attn_sublayer_native_backward_matches_reference(rng, self_attn,
+                                                         post_ln):
+    """The residual-fed native sublayer backward (q/k/v/a/probs saved by
+    the training forward) matches jax.vjp of the XLA reference."""
+    from keypoints_interpolation_transformer_tpu.ops.pallas import \
+        attn_sublayer as asl
+
+    x, mem, params, mask, valid = _sublayer_args(rng, T=16, D=32,
+                                                 post_ln=post_ln)
+    memory = None if self_attn else mem
+    kind = "repeat-inc" if self_attn else "all"
+    g = jnp.asarray(rng.normal(size=x.shape).astype(np.float32))
+
+    with pltpu.force_tpu_interpret_mode(), \
+            jax.default_matmul_precision("highest"):
+        y0 = asl._fwd_pallas(x, memory, params, mask, valid, kind,
+                             self_attn, post_ln, 4)
+        y1, res = asl._fwd_pallas(x, memory, params, mask, valid, kind,
+                                  self_attn, post_ln, 4,
+                                  want_residuals=True)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=2e-6)
+
+    if memory is None:
+        def ref(x_, params_):
+            return asl.attn_sublayer_reference(x_, None, params_, mask,
+                                               valid, kind, self_attn,
+                                               post_ln, 4)
+        with jax.default_matmul_precision("highest"):
+            _, vjp = jax.vjp(ref, x, params)
+            want_dx, want_dp = vjp(g)
+            want_dmem = None
+    else:
+        def ref(x_, m_, params_):
+            return asl.attn_sublayer_reference(x_, m_, params_, mask,
+                                               valid, kind, self_attn,
+                                               post_ln, 4)
+        with jax.default_matmul_precision("highest"):
+            _, vjp = jax.vjp(ref, x, memory, params)
+            want_dx, want_dmem, want_dp = vjp(g)
+
+    with pltpu.force_tpu_interpret_mode(), \
+            jax.default_matmul_precision("highest"):
+        dx, dmem, dp = asl._bwd_pallas(x, memory, params, res, g,
+                                       post_ln, 4)
+
+    # normalize by the global gradient scale: dbk is mathematically
+    # EXACTLY zero (the softmax gradient sums to zero over keys, so
+    # sum_k dk = sum_q q * sum_k dl[k,q] = 0) — a per-tensor relative
+    # comparison would divide float noise by ~1e-8
+    gscale = max(float(jnp.max(jnp.abs(t)))
+                 for t in [want_dx, *want_dp] if t.size) + 1e-9
+
+    def close(a, b):
+        np.testing.assert_allclose(np.asarray(a) / gscale,
+                                   np.asarray(b) / gscale, atol=2e-5)
+
+    close(dx, want_dx)
+    if memory is not None:
+        close(dmem, want_dmem)
+    for a, b in zip(dp, want_dp):
+        if a.size:
+            close(a, b)
+
+
+@pytest.mark.parametrize("pe_residual", [False, True])
+def test_fused_pre_stream_embed_matches_reference(rng, pe_residual):
+    """The embed-folded pre-stream kernel (108 lane-padded to 128) equals
+    the XLA reference, and the want_emb output equals the plain Dense."""
+    from keypoints_interpolation_transformer_tpu.ops.pallas.pointwise \
+        import fused_pre_stream_embed, pre_stream_embed_reference
+
+    B, T, F, D = 2, 16, 108, 128
+    x = jnp.asarray(rng.normal(size=(B, T, F)).astype(np.float32))
+    wemb = jnp.asarray((rng.normal(size=(F, D)) * 0.1).astype(np.float32))
+    bemb = jnp.asarray((rng.normal(size=(D,)) * 0.02).astype(np.float32))
+    pe = jnp.asarray(rng.normal(size=(T, D)).astype(np.float32))
+    sw = [jnp.asarray((rng.normal(size=(D, D)) * 0.1).astype(np.float32))
+          if i % 2 == 0 else
+          jnp.asarray((rng.normal(size=(D,)) * 0.02).astype(np.float32))
+          for i in range(6)]
+    with pltpu.force_tpu_interpret_mode(), \
+            jax.default_matmul_precision("highest"):
+        got_s, got_e = fused_pre_stream_embed(x, wemb, bemb, pe, *sw,
+                                              pe_residual, True)
+        got_only = fused_pre_stream_embed(x, wemb, bemb, pe, *sw,
+                                          pe_residual, False)
+    want_s, want_e = pre_stream_embed_reference(x, wemb, bemb, pe, *sw,
+                                                pe_residual, True)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_e), np.asarray(want_e),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_only), np.asarray(want_s),
+                               atol=2e-5)
+
+    # gradients follow the XLA reference via custom_vjp
+    def lf(x, wemb):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(fused_pre_stream_embed(
+                x, wemb, bemb, pe, *sw, pe_residual, False) ** 2)
+
+    def lr(x, wemb):
+        return jnp.sum(pre_stream_embed_reference(
+            x, wemb, bemb, pe, *sw, pe_residual, False) ** 2)
+
+    with jax.default_matmul_precision("highest"):
+        ga = jax.grad(lf, argnums=(0, 1))(x, wemb)
+        gb = jax.grad(lr, argnums=(0, 1))(x, wemb)
+    for a, b in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)

@@ -222,3 +222,58 @@ def test_run_config_snapshot_round_trips(tmp_path):
     assert "git_sha" in doc
     rt = Config.from_json_file(path)
     assert dataclasses.asdict(rt) == dataclasses.asdict(cfg)
+
+
+def test_flagship_dim_tp_sp_step_matches_single_device(cpu_devices, rng):
+    """Tensor + sequence parallelism AT THE REFERENCE'S FLAGSHIP
+    DIMENSIONS (hidden 256 / 6 layers / 8 heads, parseMain.py:10-14):
+    one a1-style train step (loss + grads + Adam) on a (4, 2) dp x tp
+    mesh with sequence_parallel must match the single-device step to the
+    usual DP tolerance.  This executes the Megatron head-split (8 heads
+    over model=2), the SwiGLU col/row split, and the token-axis
+    sequence-parallel constraint at real width — previously proven only
+    at D=32 toy dims."""
+    assert len(cpu_devices) >= 8
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from keypoints_interpolation_transformer_tpu.models.completer import (
+        KeypointCompleter)
+    from keypoints_interpolation_transformer_tpu.ops.masks import (
+        attention_bias)
+    from keypoints_interpolation_transformer_tpu.parallel.mesh import (
+        make_mesh, shard_params)
+
+    kw = dict(hidden_dim=256, num_layers=6, num_heads=8)
+    B, T = 4, 16  # small T bounds CPU compile time; the width is flagship
+    x = jnp.asarray(rng.uniform(size=(B, T, 54, 2)).astype(np.float32))
+    msk = jnp.asarray((rng.random((B, T)) < 0.4).astype(np.float32))
+    bias = attention_bias("repeat-inc", msk, T)
+
+    def make_step(model):
+        def loss_fn(params):
+            pred = model.apply({"params": params}, x, x,
+                               src_frame_mask=msk, src_bias=bias,
+                               tgt_bias=bias)
+            return jnp.mean((pred - x) ** 2)
+
+        def step(state):
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            return loss, apply_gradients(state, grads, jnp.float32(1e-3))
+        return step
+
+    m_ref = KeypointCompleter(**kw)
+    p = m_ref.init(jax.random.key(0), x[:, :8], x[:, :8])["params"]
+    want_loss, want_state = jax.jit(make_step(m_ref))(TrainState.create(p))
+
+    m_sp = KeypointCompleter(**kw, sequence_parallel=True)
+    mesh = make_mesh(4, 2, devices=cpu_devices)
+    with mesh:
+        ps = shard_params(p, mesh)
+        got_loss, got_state = jax.jit(make_step(m_sp))(
+            TrainState.create(ps))
+        got_loss = float(got_loss)
+    np.testing.assert_allclose(got_loss, float(want_loss), rtol=2e-4)
+    # updated parameters agree leaf-by-leaf (collective sum order only)
+    for a, b in zip(jax.tree.leaves(got_state.params),
+                    jax.tree.leaves(want_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=2e-4)

@@ -568,3 +568,111 @@ def test_intermediate_loss_matches_torch_pattern():
     got = float(intermediate_loss(outs, tgt))
     want = sum(float(jnp.mean(mse_loss(o, tgt))) for o in outs)
     np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+class TestBohacekLegacy:
+    """Working re-derivations of the reference's dead/unimported
+    body_normalization.py (the last legacy module): invariants of the
+    Bohacek box — neck maps to x=0.5, leftEye to y=5/6 under the dict
+    variant's eye_offset=1 (body_normalization.py:184-186) — plus the
+    carry-forward, zero-skip and invalid-sequence behaviors."""
+
+    def _seq(self, T=3):
+        from keypoints_interpolation_transformer_tpu.transforms.\
+            spoter_legacy import BOHACEK_BODY_IDENTIFIERS
+        # head metric (shoulder distance) = 0.05 keeps the 6h-tall box
+        # strictly inside the positive quadrant (no :92-95 clamping), so
+        # the closed-form invariants below hold exactly
+        base = {
+            "nose": (0.52, 0.30), "neck": (0.50, 0.42),
+            "rightEye": (0.48, 0.28), "leftEye": (0.54, 0.28),
+            "rightEar": (0.45, 0.30), "leftEar": (0.56, 0.30),
+            "rightShoulder": (0.475, 0.50), "leftShoulder": (0.525, 0.50),
+            "rightElbow": (0.44, 0.65), "leftElbow": (0.57, 0.66),
+            "rightWrist": (0.43, 0.78), "leftWrist": (0.58, 0.80),
+        }
+        assert set(base) == set(BOHACEK_BODY_IDENTIFIERS)
+        return {k: [list(v) for _ in range(T)] for k, v in base.items()}
+
+    def test_box_invariants_and_zero_skip(self):
+        from keypoints_interpolation_transformer_tpu.transforms.\
+            spoter_legacy import normalize_single_dict
+
+        row = self._seq()
+        row["rightWrist"][1] = [0.0, 0.44]  # x==0 -> skipped (:201-202)
+        out = normalize_single_dict(row)
+        # head metric = shoulder distance 0.2; box x = neck +- 3h -> neck
+        # lands mid-box; leftEye y = (ley - ey)/(sy - ey) = 5h/6h
+        for t in range(3):
+            np.testing.assert_allclose(out["neck"][t][0], 0.5, atol=1e-12)
+            np.testing.assert_allclose(out["leftEye"][t][1], 5.0 / 6.0,
+                                       atol=1e-12)
+        assert out["rightWrist"][1] == [0.0, 0.44]  # untouched
+        assert row["rightWrist"][0] == [0.43, 0.78]  # input never mutated
+
+    def test_carry_forward_and_headless_start(self):
+        from keypoints_interpolation_transformer_tpu.transforms.\
+            spoter_legacy import normalize_single_dict
+
+        row = self._seq(T=3)
+        # frame 1 loses shoulders AND neck/nose x -> carries frame 0's box
+        for k in ("leftShoulder", "rightShoulder", "neck", "nose"):
+            row[k][1] = [0.0, row[k][1][1]]
+        out = normalize_single_dict(row)
+        np.testing.assert_allclose(out["leftWrist"][1],
+                                   out["leftWrist"][0], atol=1e-12)
+
+        # no box formable at all -> returned unnormalized
+        row2 = self._seq(T=2)
+        for k in ("leftShoulder", "rightShoulder", "neck", "nose"):
+            for t in range(2):
+                row2[k][t] = [0.0, row2[k][t][1]]
+        out2 = normalize_single_dict(row2)
+        assert out2["leftEye"][0] == row2["leftEye"][0]
+
+    def test_dataframe_variant(self):
+        import pandas as pd
+        from keypoints_interpolation_transformer_tpu.transforms.\
+            spoter_legacy import (BOHACEK_BODY_IDENTIFIERS,
+                                  normalize_body_full)
+
+        seq = self._seq(T=2)
+        cols = {}
+        for k in BOHACEK_BODY_IDENTIFIERS:
+            cols[k + "_X"] = [[p[0] for p in seq[k]]]
+            cols[k + "_Y"] = [[p[1] for p in seq[k]]]
+        # second row: nothing valid -> flagged invalid, unnormalized
+        for k in BOHACEK_BODY_IDENTIFIERS:
+            bad_x = ([0.0, 0.0]
+                     if k in ("leftShoulder", "rightShoulder", "neck",
+                              "nose") else [0.2, 0.2])
+            cols[k + "_X"].append(bad_x)
+            cols[k + "_Y"].append([0.3, 0.3])
+        df = pd.DataFrame(cols)
+        out, invalid = normalize_body_full(df)
+        assert invalid == [1]
+        np.testing.assert_allclose(out.loc[0, "neck_X"], [0.5, 0.5],
+                                   atol=1e-12)
+        np.testing.assert_allclose(out.loc[1, "leftEye_X"], [0.2, 0.2])
+        # DataFrame variant uses the eye_offset=0.5 box (:86):
+        # sy = ley + 0.5h, ey = sy - 6h -> leftEye y = 5.5h/6h
+        np.testing.assert_allclose(out.loc[0, "leftEye_Y"],
+                                   [5.5 / 6.0] * 2, atol=1e-12)
+
+
+def test_unit_quad_homography_closed_form_matches_solve(rng):
+    """perspective_from_unit_quad (closed form, no LU) equals the general
+    8x8-solve homography for random destination quadrilaterals."""
+    import jax.numpy as jnp
+    from keypoints_interpolation_transformer_tpu.transforms.augment import (
+        _UNIT_QUAD, perspective_from_unit_quad,
+        perspective_transform_matrix)
+
+    for _ in range(5):
+        dst = jnp.asarray(
+            (np.asarray(_UNIT_QUAD) +
+             rng.uniform(-0.2, 0.2, (4, 2))).astype(np.float32))
+        want = perspective_transform_matrix(_UNIT_QUAD, dst)
+        got = perspective_from_unit_quad(dst)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5)
