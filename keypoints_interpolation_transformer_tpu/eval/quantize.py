@@ -64,8 +64,12 @@ def _int8_dense_xla(x, kernel_q, w_scale, bias, out_dtype):
     x_scale = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
     x_scale = jnp.maximum(x_scale, 1e-12)
     xq = jnp.clip(jnp.round(xf / x_scale), -127, 127).astype(jnp.int8)
+    # DEFAULT precision pinned: integer dots are exact; an inherited
+    # ambient "highest" is meaningless for i8 and breaks Mosaic lowering
+    # in the kernel twins of this math (see ops/pallas/ffn._int8_dot)
     acc = jax.lax.dot_general(xq, kernel_q, (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.int32)
+                              preferred_element_type=jnp.int32,
+                              precision=jax.lax.Precision.DEFAULT)
     y = acc.astype(jnp.float32) * x_scale * w_scale[None, :]
     if bias is not None:
         y = y + bias[None, :].astype(jnp.float32)

@@ -50,12 +50,17 @@ class Inpainter:
         self.variant = variant
         if quantize == "int8":
             # the FF matmuls (2/3 of the FLOPs) run inside the fused
-            # Pallas FF kernel's int8 mode (in-kernel dynamic activation
-            # quantization, ops/pallas/ffn._kernel_int8); the remaining
-            # nn.Dense calls (embeddings) are intercepted by the
-            # quantize-table path.  Attention q/k/v/o stay float inside
-            # the fused attention-sublayer kernel — small FLOP share,
-            # and quantizing around the softmax costs accuracy.
+            # Pallas FF/merged-layer kernels' int8 mode (in-kernel
+            # dynamic activation quantization, ops/pallas/ffn
+            # ._kernel_int8), and — round 4 — the attention q/k/v/out
+            # PROJECTIONS run int8 inside the merged encoder/decoder
+            # kernels too (layer_fused attn_int8; the attention core
+            # itself stays float).  The embeddings/head live inside the
+            # fused pointwise kernels and stay float (108-wide — a
+            # negligible FLOP share); any nn.Dense that still executes
+            # (unfused fallbacks, Embedding variant) is intercepted by
+            # the quantize-table path.  quantization_error() reports the
+            # per-checkpoint masked-MPJPE delta for deployment gating.
             import dataclasses as _dc
             model_cfg = _dc.replace(model_cfg, ff_impl="pallas-int8")
         self.model = build_model(model_cfg, variant)
@@ -73,6 +78,18 @@ class Inpainter:
         if quantize == "int8":
             from .quantize import quantize_dense_table
             self._qtable = quantize_dense_table(params)
+            if model_cfg.hidden_dim <= 512:
+                import logging
+                logging.getLogger(__name__).info(
+                    "int8 serving at hidden_dim=%d: measured a statistical "
+                    "TIE with the float bf16 path at this width (D=256: "
+                    "1.70-1.81M frames/s, order flips within run noise — "
+                    "the shared attention work dominates) at ~2x the bf16 "
+                    "output delta; int8 clearly wins from D>=1024 (431K vs "
+                    "411K) where matmuls dominate.  Quantizing the "
+                    "attention projections too (KIT_ATTN_INT8=1) measured "
+                    "a net LOSS at this width.  See RESULTS.md int8 table.",
+                    model_cfg.hidden_dim)
         elif quantize not in (None, "none"):
             raise ValueError(f"unknown quantize mode {quantize!r}")
 

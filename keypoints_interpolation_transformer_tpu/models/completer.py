@@ -166,7 +166,9 @@ class KeypointCompleter(nn.Module):
                   and self.hidden_dim % 128 == 0 and T % 8 == 0
                   and self.hidden_dim <= 512
                   and not self.sequence_parallel)
-        if use_pw:
+        import os as _os
+        embed_fold = _os.environ.get("KIT_PW_EMBED", "1") == "1"
+        if use_pw and embed_fold:
             # the 108-wide embedding Dense folds INTO the pre-stream
             # kernel (lane-padded to 128): the narrow matmul stops
             # wasting 20 of 128 MXU lanes as a standalone op and the
@@ -187,6 +189,20 @@ class KeypointCompleter(nn.Module):
             tgt, filled_emb = fused_pre_stream_embed(
                 f, w_fill, b_fill, pe + learned_fill[0],
                 *sw_fill, self.pe_residual, True)
+        elif use_pw:  # KIT_PW_EMBED=0: XLA embed + fused pointwise chain
+            from ..ops.pallas.pointwise import fused_pre_stream
+            input_emb = nn.Dense(self.hidden_dim, dtype=self.dtype,
+                                 name="input_embedding")(x)
+            filled_emb = nn.Dense(self.hidden_dim, dtype=self.dtype,
+                                  name="filled_embedding")(f)
+            sw_in = _SwiGLUParams(self.hidden_dim,
+                                  name="swiglu_input_prev")()
+            sw_fill = _SwiGLUParams(self.hidden_dim,
+                                    name="swiglu_filled_prev")()
+            src = fused_pre_stream(input_emb, pe + learned_in[0],
+                                   *sw_in, self.pe_residual)
+            tgt = fused_pre_stream(filled_emb, pe + learned_fill[0],
+                                   *sw_fill, self.pe_residual)
         else:
             input_emb = nn.Dense(self.hidden_dim, dtype=self.dtype,
                                  name="input_embedding")(x)

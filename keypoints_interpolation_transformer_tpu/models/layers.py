@@ -262,12 +262,19 @@ class EncoderLayer(nn.Module):
                 w1, b1, w2, b2 = _FFParams(self.dim, self.ff_dim,
                                            name="ff")()
                 g2, be2 = _LayerNormParams(self.dim, name="norm2")()
+                # attn_int8 measured a net LOSS at the widths the merged
+                # kernel supports (D=256: 1534K vs 1759K bf16 frames/s —
+                # per-row dynamic quantization VPU overhead exceeds the
+                # MXU saving on 256x256 projections); opt-in only
+                import os as _os
+                a8 = (impl == "pallas-int8"
+                      and _os.environ.get("KIT_ATTN_INT8") == "1")
                 return fused_encoder_layer(
                     x, (*mha, w1, b1, w2, b2, g1, be1, g2, be2),
                     (fused["mask"], fused.get("valid")),
                     fused.get("kind", "repeat-inc"),
                     fused.get("add_keypad", False), self.num_heads,
-                    impl == "pallas-int8")
+                    impl == "pallas-int8", a8)
         if use_sub:
             mha = _MHAParams(self.dim, name="self_attn")()
             r = _fused_sublayer(x, None, mha, None, fused, self.num_heads)
@@ -335,7 +342,9 @@ class DecoderLayer(nn.Module):
                 self_fused.get("kind", "repeat-inc"),
                 self_fused.get("add_keypad", False),
                 cross_fused.get("kind", "all"),
-                cross_fused.get("add_keypad", False), self.num_heads)
+                cross_fused.get("add_keypad", False), self.num_heads,
+                impl == "pallas-int8"
+                and __import__("os").environ.get("KIT_ATTN_INT8") == "1")
             if full:
                 return r
             if impl in ("pallas", "pallas-int8"):

@@ -260,6 +260,8 @@ def _fwd_pallas(x, memory, params, mask, valid, kind, add_keypad, post_ln,
         # the residual outputs (5-6 extra (bb, T, D)/(bb, T, H*T) blocks)
         # roughly triple the per-cell VMEM footprint
         bb = min(bb, 2)
+        if T * heads * T * 4 * bb > (1 << 21):  # probs block budget
+            bb = 1
     self_attn = memory is None
 
     row_spec = pl.BlockSpec((bb, T, D), lambda b: (b, 0, 0),
@@ -602,15 +604,21 @@ import os as _os
 _SUB_BWD_NATIVE = _os.environ.get("KIT_ATTN_SUBLAYER_BWD", "1") == "1"
 
 
-def _sub_bwd_native_ok(dtype) -> bool:
+def _sub_bwd_native_ok(dtype, T, heads) -> bool:
     from ...models.completer import _attention_platform
-    return (_SUB_BWD_NATIVE and _mxu_mode(dtype) in ("bf16", "bf16x3")
+    # the (T, H*T) f32 probs residual is double-buffered as a pipeline
+    # block in both the training forward (output) and the backward
+    # (input); past ~2 MB it blows the scoped-VMEM budget together with
+    # the ~10 row tensors — longer T falls back to the XLA recompute VJP
+    fits = T * heads * T * 4 <= (1 << 21)
+    return (_SUB_BWD_NATIVE and fits
+            and _mxu_mode(dtype) in ("bf16", "bf16x3")
             and _attention_platform() == "tpu")
 
 
 def _vjp_fwd(x, memory, params, masks, kind, add_keypad, post_ln, heads):
     mask, valid = masks
-    if _sub_bwd_native_ok(x.dtype):
+    if _sub_bwd_native_ok(x.dtype, x.shape[1], heads):
         out, res = _fwd_pallas(x, memory, params, mask, valid, kind,
                                add_keypad, post_ln, heads,
                                want_residuals=True)

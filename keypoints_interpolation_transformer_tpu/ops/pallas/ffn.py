@@ -235,8 +235,13 @@ def _quant_rows(x):
 
 def _int8_dot(x, wq, ws):
     xq, s = _quant_rows(x)
+    # precision pinned to DEFAULT: an int8 dot is exact, but an ambient
+    # "highest" would make Mosaic emit contract_precision<fp32> on i8
+    # operands and fail to compile ("Bad lhs type") — serving runs under
+    # the model's matmul_precision context, which defaults to highest
     acc = jax.lax.dot_general(xq, wq, (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.int32)
+                              preferred_element_type=jnp.int32,
+                              precision=jax.lax.Precision.DEFAULT)
     return acc.astype(jnp.float32) * s * ws
 
 

@@ -36,8 +36,11 @@ def _kernel(x_ref, wq_ref, ws_ref, b_ref, o_ref):
     amax = jnp.max(jnp.abs(x), axis=1, keepdims=True)
     s = jnp.maximum(amax, 1e-12) * (1.0 / 127.0)          # (R, 1)
     xq = jnp.clip(jnp.round(x * (1.0 / s)), -127, 127).astype(jnp.int8)
+    # DEFAULT precision pinned: ambient "highest" makes Mosaic emit
+    # contract_precision<fp32> on i8 operands and fail ("Bad lhs type")
     acc = jax.lax.dot_general(xq, wq_ref[...], (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.int32)
+                              preferred_element_type=jnp.int32,
+                              precision=jax.lax.Precision.DEFAULT)
     y = acc.astype(jnp.float32) * s * ws_ref[0] + b_ref[0]
     o_ref[...] = y.astype(o_ref.dtype)
 

@@ -56,25 +56,55 @@ def _prep_w(ws, mode):
     return [w.astype(jnp.float32) for w in ws]
 
 
+def _quant_w(w):
+    """Symmetric per-output-channel int8 weight quantization (in-graph;
+    XLA folds it when the weights are trace constants)."""
+    w = w.astype(jnp.float32)
+    sc = jnp.maximum(jnp.max(jnp.abs(w), axis=0, keepdims=True),
+                     1e-12) / 127.0
+    q = jnp.clip(jnp.round(w / sc), -127, 127).astype(jnp.int8)
+    return q, sc
+
+
+def _quant_pairs(ws):
+    out = []
+    for w in ws:
+        q, s = _quant_w(w)
+        out += [q, s]
+    return out
+
+
 def _enc_kernel(x_ref, mask_ref, valid_ref, *rest, kind, add_keypad,
-                heads, dh, bb, mode, n_w, ff_int8=False):
+                heads, dh, bb, mode, n_w, ff_int8=False, attn_int8=False):
     w_refs = rest[:n_w]
     (bq_r, bk_r, bv_r, bo_r, b1_r, b2_r, g1_r, be1_r, g2_r,
      be2_r) = rest[n_w:n_w + 10]
     o_ref = rest[-1]
-    if ff_int8:
-        # last 4 weight operands: w1q, w1scale, w2q, w2scale
-        per = (n_w - 4) // 4
+    n_attn = 8 if attn_int8 else None
+    if attn_int8:
+        # first 8 operands: (q, scale) int8 pairs for wq/wk/wv/wo
         wq, wk, wv, wo = (
-            tuple(r[...] for r in w_refs[i * per:(i + 1) * per])
-            for i in range(4))
+            (w_refs[2 * i][...], w_refs[2 * i + 1][...]) for i in range(4))
+        rest_w = w_refs[8:]
+    else:
+        rest_w = w_refs
+    if ff_int8:
+        if not attn_int8:
+            per = (n_w - 4) // 4
+            wq, wk, wv, wo = (
+                tuple(r[...] for r in rest_w[i * per:(i + 1) * per])
+                for i in range(4))
         w1q, w1s, w2q, w2s = (r[...] for r in w_refs[-4:])
         w1 = w2 = None
     else:
-        per = n_w // 6
-        wq, wk, wv, wo, w1, w2 = (
-            tuple(r[...] for r in w_refs[i * per:(i + 1) * per])
-            for i in range(6))
+        per = len(rest_w) // (2 if attn_int8 else 6)
+        if attn_int8:
+            w1, w2 = (tuple(r[...] for r in rest_w[i * per:(i + 1) * per])
+                      for i in range(2))
+        else:
+            wq, wk, wv, wo, w1, w2 = (
+                tuple(r[...] for r in rest_w[i * per:(i + 1) * per])
+                for i in range(6))
     bq_, bk_, bv_, bo_, b1, b2 = (
         r[0].astype(jnp.float32)
         for r in (bq_r, bk_r, bv_r, bo_r, b1_r, b2_r))
@@ -84,10 +114,19 @@ def _enc_kernel(x_ref, mask_ref, valid_ref, *rest, kind, add_keypad,
     D = x_ref.shape[2]
 
     x2d = x_ref[...].astype(jnp.float32).reshape(bb * T, D)
-    xp = _prep(x2d, mode)
-    q_all = _proj(xp, wq, bq_, mode)
-    k_all = _proj(xp, wk, bk_, mode)
-    v_all = _proj(xp, wv, bv_, mode)
+    if attn_int8:
+        # projections int8-on-MXU with in-kernel dynamic per-token
+        # activation scales (same scheme as the FF int8 mode); the
+        # attention core itself stays float — scores/probs dominate its
+        # accuracy and the projection matmuls its FLOPs
+        q_all = _int8_dot(x2d, wq[0], wq[1][0]) + bq_
+        k_all = _int8_dot(x2d, wk[0], wk[1][0]) + bk_
+        v_all = _int8_dot(x2d, wv[0], wv[1][0]) + bv_
+    else:
+        xp = _prep(x2d, mode)
+        q_all = _proj(xp, wq, bq_, mode)
+        k_all = _proj(xp, wk, bk_, mode)
+        v_all = _proj(xp, wv, bv_, mode)
     outs = []
     for b in range(bb):
         rows = slice(b * T, (b + 1) * T)
@@ -96,7 +135,10 @@ def _enc_kernel(x_ref, mask_ref, valid_ref, *rest, kind, add_keypad,
         outs.append(_attn_core(q_all[rows], k_all[rows], v_all[rows],
                                bias, heads, dh, mode))
     a_all = outs[0] if bb == 1 else jnp.concatenate(outs, axis=0)
-    r = x2d + _proj(_prep(a_all, mode), wo, bo_, mode)
+    if attn_int8:
+        r = x2d + _int8_dot(a_all, wo[0], wo[1][0]) + bo_
+    else:
+        r = x2d + _proj(_prep(a_all, mode), wo, bo_, mode)
 
     # FF sublayer, r never leaving VMEM (post-LN torch layer)
     x1 = _ln(r, g1, be1)
@@ -113,7 +155,7 @@ def _enc_kernel(x_ref, mask_ref, valid_ref, *rest, kind, add_keypad,
 
 
 def _enc_fwd_pallas(x, params, mask, valid, kind, add_keypad, heads,
-                    ff_int8=False):
+                    ff_int8=False, attn_int8=False):
     (wq, bq_, wk, bk_, wv, bv_, wo, bo_, w1, b1, w2, b2,
      g1, be1, g2, be2) = params
     B, T, D = x.shape
@@ -141,18 +183,12 @@ def _enc_fwd_pallas(x, params, mask, valid, kind, add_keypad, heads,
         return pl.BlockSpec(shape, lambda b: (0,) * nd,
                             memory_space=pltpu.VMEM)
 
+    attn_ops = (_quant_pairs([wq, wk, wv, wo]) if attn_int8
+                else _prep_w([wq, wk, wv, wo], mode))
     if ff_int8:
-        def quant(w):
-            w = w.astype(jnp.float32)
-            sc = jnp.maximum(jnp.max(jnp.abs(w), axis=0, keepdims=True),
-                             1e-12) / 127.0
-            q = jnp.clip(jnp.round(w / sc), -127, 127).astype(jnp.int8)
-            return q, sc
-        w1q, w1s = quant(w1)
-        w2q, w2s = quant(w2)
-        w_ops = _prep_w([wq, wk, wv, wo], mode) + [w1q, w1s, w2q, w2s]
+        w_ops = attn_ops + _quant_pairs([w1, w2])
     else:
-        w_ops = _prep_w([wq, wk, wv, wo, w1, w2], mode)
+        w_ops = attn_ops + _prep_w([w1, w2], mode)
     n_w = len(w_ops)
     vecs = [v.reshape(1, -1).astype(jnp.float32)
             for v in (bq_, bk_, bv_, bo_, b1, b2, g1, be1, g2, be2)]
@@ -160,7 +196,7 @@ def _enc_fwd_pallas(x, params, mask, valid, kind, add_keypad, heads,
     return pl.pallas_call(
         functools.partial(_enc_kernel, kind=kind, add_keypad=add_keypad,
                           heads=heads, dh=dh, bb=bb, mode=mode, n_w=n_w,
-                          ff_int8=ff_int8),
+                          ff_int8=ff_int8, attn_int8=attn_int8),
         grid=(B // bb,),
         in_specs=[row_spec, vec_spec, vec_spec,
                   *[const_spec(w.shape) for w in w_ops],
@@ -198,7 +234,8 @@ def encoder_layer_reference(x, params, mask, valid, kind, add_keypad,
 
 def _dec_kernel(x_ref, mem_ref, smask_ref, svalid_ref, cmask_ref,
                 cvalid_ref, *rest, skind, sadd_keypad, ckind,
-                cadd_keypad, heads, dh, bb, mode, n_w, with_ff):
+                cadd_keypad, heads, dh, bb, mode, n_w, with_ff,
+                attn_int8=False):
     w_refs = rest[:n_w]
     n_attn_w = n_w - (2 if with_ff else 0)
     b_refs = rest[n_w:n_w + 8]
@@ -220,25 +257,39 @@ def _dec_kernel(x_ref, mem_ref, smask_ref, svalid_ref, cmask_ref,
     T = x_ref.shape[1]
     for b in range(bb):
         x = x_ref[b].astype(jnp.float32)
-        xp = _prep(x, mode)
-        q = _proj(xp, sq, sbq, mode)
-        k = _proj(xp, sk, sbk, mode)
-        v = _proj(xp, sv, sbv, mode)
+        m = mem_ref[b].astype(jnp.float32)
+        if attn_int8:
+            # projections int8-on-MXU (weights arrive as (int8, scale)
+            # pairs); the attention core stays float
+            q = _int8_dot(x, sq[0], sq[1][0]) + sbq
+            k = _int8_dot(x, sk[0], sk[1][0]) + sbk
+            v = _int8_dot(x, sv[0], sv[1][0]) + sbv
+        else:
+            xp = _prep(x, mode)
+            q = _proj(xp, sq, sbq, mode)
+            k = _proj(xp, sk, sbk, mode)
+            v = _proj(xp, sv, sbv, mode)
         bias = _bias_terms_T(smask_ref[b, 0], svalid_ref[b, 0], T, skind,
                              sadd_keypad, 0, T, mul=_LOG2E)
         a = _attn_core(q, k, v, bias, heads, dh, mode)
-        x1 = _ln(x + _proj(_prep(a, mode), so, sbo, mode), g1, be1)
-        # cross attention over the encoder memory
-        m = mem_ref[b].astype(jnp.float32)
-        mp = _prep(m, mode)
-        x1p = _prep(x1, mode)
-        q2 = _proj(x1p, cq, cbq, mode)
-        k2 = _proj(mp, ck, cbk, mode)
-        v2 = _proj(mp, cv, cbv, mode)
+        if attn_int8:
+            x1 = _ln(x + _int8_dot(a, so[0], so[1][0]) + sbo, g1, be1)
+            q2 = _int8_dot(x1, cq[0], cq[1][0]) + cbq
+            k2 = _int8_dot(m, ck[0], ck[1][0]) + cbk
+            v2 = _int8_dot(m, cv[0], cv[1][0]) + cbv
+        else:
+            x1 = _ln(x + _proj(_prep(a, mode), so, sbo, mode), g1, be1)
+            mp = _prep(m, mode)
+            q2 = _proj(_prep(x1, mode), cq, cbq, mode)
+            k2 = _proj(mp, ck, cbk, mode)
+            v2 = _proj(mp, cv, cbv, mode)
         cbias = _bias_terms_T(cmask_ref[b, 0], cvalid_ref[b, 0], T, ckind,
                               cadd_keypad, 0, T, mul=_LOG2E)
         a2 = _attn_core(q2, k2, v2, cbias, heads, dh, mode)
-        r = x1 + _proj(_prep(a2, mode), co, cbo, mode)
+        if attn_int8:
+            r = x1 + _int8_dot(a2, co[0], co[1][0]) + cbo
+        else:
+            r = x1 + _proj(_prep(a2, mode), co, cbo, mode)
         if with_ff:
             x2 = _ln(r, g2, be2)
             u = _proj(_prep(x2, mode), w1, b1, mode)
@@ -250,7 +301,7 @@ def _dec_kernel(x_ref, mem_ref, smask_ref, svalid_ref, cmask_ref,
 
 def _dec_fwd_pallas(x, memory, params, smask, svalid, cmask, cvalid,
                     skind, sadd_keypad, ckind, cadd_keypad, heads,
-                    ff_params=None):
+                    ff_params=None, attn_int8=False):
     (sqw, sqb, skw, skb, svw, svb, sow, sob,
      cqw, cqb, ckw, ckb, cvw, cvb, cow, cob, g1, be1) = params
     B, T, D = x.shape
@@ -278,10 +329,12 @@ def _dec_fwd_pallas(x, memory, params, smask, svalid, cmask, cvalid,
         return pl.BlockSpec(shape, lambda b: (0,) * nd,
                             memory_space=pltpu.VMEM)
 
-    w_ops = _prep_w([sqw, skw, svw, sow, cqw, ckw, cvw, cow], mode)
+    attn_ws = [sqw, skw, svw, sow, cqw, ckw, cvw, cow]
+    w_ops = _quant_pairs(attn_ws) if attn_int8 else _prep_w(attn_ws, mode)
     vecs = [v.reshape(1, -1).astype(jnp.float32)
             for v in (sqb, skb, svb, sob, cqb, ckb, cvb, cob, g1, be1)]
     if with_ff:
+        assert not attn_int8  # int8 serving fuses the FF tail separately
         w1, b1, w2, b2, g2, be2, g3, be3 = ff_params
         w_ops += _prep_w([w1, w2], mode)
         vecs += [v.reshape(1, -1).astype(jnp.float32)
@@ -292,7 +345,8 @@ def _dec_fwd_pallas(x, memory, params, smask, svalid, cmask, cvalid,
         functools.partial(_dec_kernel, skind=skind,
                           sadd_keypad=sadd_keypad, ckind=ckind,
                           cadd_keypad=cadd_keypad, heads=heads, dh=dh,
-                          bb=bb, mode=mode, n_w=n_w, with_ff=with_ff),
+                          bb=bb, mode=mode, n_w=n_w, with_ff=with_ff,
+                          attn_int8=attn_int8),
         grid=(B // bb,),
         in_specs=[row_spec, row_spec, vec_spec, vec_spec, vec_spec,
                   vec_spec, *[const_spec(w.shape) for w in w_ops],
@@ -331,31 +385,35 @@ def decoder_selfcross_reference(x, memory, params, smask, svalid, cmask,
     return r
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
 def fused_decoder_selfcross(x, memory, params, masks, ff_params=None,
                             skind="repeat-inc", sadd_keypad=False,
-                            ckind="all", cadd_keypad=False, heads=8):
+                            ckind="all", cadd_keypad=False, heads=8,
+                            attn_int8=False):
     """Decoder self-attn + LN1 + cross-attn (+ residuals) as ONE kernel;
     with ``ff_params`` = (w1, b1, w2, b2, g2, be2, g3, be3) the FF tail
     (LN2 -> FF -> residual -> LN3) fuses in too — a WHOLE decoder layer.
 
     ``params`` = (self q/k/v/o w+b x8, cross q/k/v/o w+b x8, g1, be1);
-    ``masks`` = (self_mask, self_valid, cross_mask, cross_valid)."""
+    ``masks`` = (self_mask, self_valid, cross_mask, cross_valid).
+    ``attn_int8`` runs all eight projections int8-on-MXU (serving;
+    incompatible with ff_params)."""
     smask, svalid, cmask, cvalid = masks
     return _dec_fwd_pallas(x, memory, params, smask, svalid, cmask,
                            cvalid, skind, sadd_keypad, ckind, cadd_keypad,
-                           heads, ff_params)
+                           heads, ff_params, attn_int8)
 
 
 def _dec_vjp_fwd(x, memory, params, masks, ff_params, skind, sadd_keypad,
-                 ckind, cadd_keypad, heads):
+                 ckind, cadd_keypad, heads, attn_int8):
     return (fused_decoder_selfcross(x, memory, params, masks, ff_params,
                                     skind, sadd_keypad, ckind,
-                                    cadd_keypad, heads),
+                                    cadd_keypad, heads, attn_int8),
             (x, memory, params, masks, ff_params))
 
 
-def _dec_vjp_bwd(skind, sadd_keypad, ckind, cadd_keypad, heads, res, g):
+def _dec_vjp_bwd(skind, sadd_keypad, ckind, cadd_keypad, heads, attn_int8,
+                 res, g):
     x, memory, params, masks, ff_params = res
     smask, svalid, cmask, cvalid = masks
 
@@ -380,26 +438,31 @@ def _dec_vjp_bwd(skind, sadd_keypad, ckind, cadd_keypad, heads, res, g):
 fused_decoder_selfcross.defvjp(_dec_vjp_fwd, _dec_vjp_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def fused_encoder_layer(x, params, masks, kind="repeat-inc",
-                        add_keypad=False, heads=8, ff_int8=False):
+                        add_keypad=False, heads=8, ff_int8=False,
+                        attn_int8=False):
     """One whole torch-style encoder layer as ONE Pallas kernel.
 
     ``params`` = (wq, bq, wk, bk, wv, bv, wo, bo, w1, b1, w2, b2,
     g1, be1, g2, be2); ``masks`` = (frame_mask, valid | None).
     ``ff_int8`` runs the FF matmuls int8-on-MXU with in-kernel dynamic
-    activation scales (serving; gradients follow the float reference)."""
+    activation scales (serving; gradients follow the float reference);
+    ``attn_int8`` extends that to the q/k/v/out projections (the
+    attention core stays float)."""
     mask, valid = masks
     return _enc_fwd_pallas(x, params, mask, valid, kind, add_keypad,
-                           heads, ff_int8)
+                           heads, ff_int8, attn_int8)
 
 
-def _enc_vjp_fwd(x, params, masks, kind, add_keypad, heads, ff_int8):
+def _enc_vjp_fwd(x, params, masks, kind, add_keypad, heads, ff_int8,
+                 attn_int8):
     return (fused_encoder_layer(x, params, masks, kind, add_keypad,
-                                heads, ff_int8), (x, params, masks))
+                                heads, ff_int8, attn_int8),
+            (x, params, masks))
 
 
-def _enc_vjp_bwd(kind, add_keypad, heads, ff_int8, res, g):
+def _enc_vjp_bwd(kind, add_keypad, heads, ff_int8, attn_int8, res, g):
     x, params, masks = res
     mask, valid = masks
 

@@ -755,3 +755,82 @@ def test_fused_pre_stream_embed_matches_reference(rng, pe_residual):
     for a, b in zip(ga, gb):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-4)
+
+
+def test_merged_kernels_attn_int8_close_to_float(rng):
+    """attn_int8 serving mode (q/k/v/out projections int8-on-MXU inside
+    the merged encoder/decoder kernels) stays within int8 quantization
+    noise of the float reference."""
+    from keypoints_interpolation_transformer_tpu.ops.pallas.layer_fused \
+        import (decoder_selfcross_reference, encoder_layer_reference,
+                fused_decoder_selfcross, fused_encoder_layer)
+
+    B, T, H, dh, FF = 2, 16, 4, 8, 64
+    D = H * dh
+    x = jnp.asarray(rng.normal(size=(B, T, D)).astype(np.float32))
+    mem = jnp.asarray(rng.normal(size=(B, T, D)).astype(np.float32))
+    mask = jnp.asarray((rng.random((B, T)) < 0.3).astype(np.float32))
+    valid = jnp.ones((B, T), jnp.float32)
+
+    ws = [jnp.asarray((rng.normal(size=(D, D)) * 0.1).astype(np.float32))
+          for _ in range(4)]
+    bs = [jnp.asarray((rng.normal(size=(D,)) * 0.02).astype(np.float32))
+          for _ in range(4)]
+    w1 = jnp.asarray((rng.normal(size=(D, FF)) * 0.05).astype(np.float32))
+    b1 = jnp.asarray((rng.normal(size=(FF,)) * 0.01).astype(np.float32))
+    w2 = jnp.asarray((rng.normal(size=(FF, D)) * 0.05).astype(np.float32))
+    b2 = jnp.asarray((rng.normal(size=(D,)) * 0.01).astype(np.float32))
+    ones, zeros = jnp.ones((D,), jnp.float32), jnp.zeros((D,), jnp.float32)
+    enc_params = (ws[0], bs[0], ws[1], bs[1], ws[2], bs[2], ws[3], bs[3],
+                  w1, b1, w2, b2, ones, zeros, ones, zeros)
+    with pltpu.force_tpu_interpret_mode(), \
+            jax.default_matmul_precision("highest"):
+        got = fused_encoder_layer(x, enc_params, (mask, valid),
+                                  "repeat-inc", True, H, True, True)
+    want = encoder_layer_reference(x, enc_params, mask, valid,
+                                   "repeat-inc", True, H)
+    err = float(jnp.max(jnp.abs(got - want)))
+    assert err < 0.1, err            # int8 quantization noise only
+    assert err > 1e-7                # and it IS the int8 path
+
+    ws8 = [jnp.asarray((rng.normal(size=(D, D)) * 0.1).astype(np.float32))
+           for _ in range(8)]
+    bs8 = [jnp.asarray((rng.normal(size=(D,)) * 0.02).astype(np.float32))
+           for _ in range(8)]
+    dec_params = tuple(v for pair in zip(ws8, bs8) for v in pair) + \
+        (ones, zeros)
+    masks = (mask, valid, jnp.zeros_like(mask), valid)
+    with pltpu.force_tpu_interpret_mode(), \
+            jax.default_matmul_precision("highest"):
+        got = fused_decoder_selfcross(x, mem, dec_params, masks, None,
+                                      "repeat-inc", True, "all", False,
+                                      H, True)
+    want = decoder_selfcross_reference(x, mem, dec_params, mask, valid,
+                                       jnp.zeros_like(mask), valid,
+                                       "repeat-inc", True, "all", False, H)
+    err = float(jnp.max(jnp.abs(got - want)))
+    assert err < 0.1, err
+    assert err > 1e-7
+
+
+def test_model_pointwise_embed_fold_matches_xla(rng):
+    """Full model with pointwise_impl='pallas' (which folds the embedding
+    Dense into the pre-stream kernel at D%128==0) equals the XLA chain;
+    the param tree is unchanged (checkpoint compat)."""
+    B, T = 1, 16
+    x = jnp.asarray(rng.uniform(size=(B, T, 54, 2)).astype(np.float32))
+    m = jnp.asarray((rng.random((B, T)) < 0.4).astype(np.float32))
+
+    kw = dict(hidden_dim=128, num_layers=1, num_heads=4, ff_dim=128,
+              attention_impl="pallas")
+    model_x = KeypointCompleter(**kw, pointwise_impl="xla")
+    model_p = KeypointCompleter(**kw, pointwise_impl="pallas")
+    with pltpu.force_tpu_interpret_mode(), \
+            jax.default_matmul_precision("highest"):
+        params = model_p.init(jax.random.key(0), x, x)
+        out_p = model_p.apply(params, x, x, src_frame_mask=m,
+                              tgt_frame_mask=m)
+        out_x = model_x.apply(params, x, x, src_frame_mask=m,
+                              tgt_frame_mask=m)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
+                               atol=5e-5)
