@@ -382,7 +382,8 @@ def train(cfg: Config, train_ds: Optional[KeypointDataset] = None,
             np.int64(_time.time())))
         run_name = f"run_{stamp}"
     if dist.is_coordinator():
-        logger = MetricsLogger(run_name=run_name, use_wandb=use_wandb)
+        logger = MetricsLogger(log_dir=cfg.train.results_dir,
+                               run_name=run_name, use_wandb=use_wandb)
         _snapshot_run_config(cfg, logger)
     else:
         logger = _NullLogger(run_name)

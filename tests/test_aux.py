@@ -208,7 +208,8 @@ def test_train_rejects_empty_dataset(tmp_path):
     cfg = Config(model=ModelConfig(hidden_dim=32, num_heads=4, num_layers=1,
                                    ff_dim=64),
                  train=TrainConfig(regime="a1", epochs=1,
-                                   checkpoint_dir=str(tmp_path)))
+                                   checkpoint_dir=str(tmp_path / "ckpt"),
+                                   results_dir=str(tmp_path / "results")))
     with pytest.raises(ValueError, match="empty dataset"):
         train(cfg, train_ds=empty, val_ds=empty)
 

@@ -28,6 +28,7 @@ def _cfg(regime, name, tmp_path, epochs=2, mesh=None, **train_kw):
         mesh=mesh or MeshConfig(),
         train=TrainConfig(regime=regime, lr=1e-3, epochs=epochs, patience=50,
                           checkpoint_dir=str(tmp_path / "ckpt"),
+                          results_dir=str(tmp_path / "results"),
                           experiment_name=name, log_every=0, **train_kw),
     )
 
@@ -214,7 +215,7 @@ def test_run_config_snapshot_round_trips(tmp_path):
 
     cfg = _cfg("a1", "t_cfgsnap", tmp_path, epochs=1)
     train(cfg)
-    path = os.path.join("results", "t_cfgsnap.config.json")
+    path = os.path.join(cfg.train.results_dir, "t_cfgsnap.config.json")
     assert os.path.exists(path)
     with open(path) as f:
         doc = json.load(f)
