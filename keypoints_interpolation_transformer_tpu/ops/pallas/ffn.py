@@ -630,6 +630,199 @@ def _ffn_bwd_pallas(r, g, w1, b1, w2, b2, g1, be1, g2, be2, pre_ln, mode,
             dg2[0].astype(g2.dtype), dbe2[0].astype(be2.dtype))
 
 
+# ---------------------------------------------------------------------------
+# Two-kernel split backward: each kernel holds ONE weight (+ its dW
+# accumulator) stationary, so the fixed VMEM cost is half the monolith's.
+# This is what lets the NATIVE backward run at bf16x3 flagship width
+# (256x2048), where the monolithic kernel's split weights + f32 dW
+# accumulators measured 20.9-23.4 MB against the 16 MB scoped limit.
+# The (N, FF) du hand-off between the kernels round-trips HBM once
+# (~64 MB at B=64 T=128 — ~0.2 ms at v5e bandwidth), which the fused
+# elementwise chains and in-VMEM intermediates more than buy back vs the
+# residual-fed XLA backward.  Residual-fed only (requires saved u/z).
+# ---------------------------------------------------------------------------
+
+
+def _ffn_bwd_kernel_a(g_ref, z_ref, u_ref, *rest, mode, n_w2):
+    """dz/dW2 half: LN2 backward, second-matmul gradients, GELU grad.
+    Stationary: W2 parts + dW2 accumulator.  Emits du and dz rows."""
+    w2_refs = rest[:n_w2]
+    g2r = rest[n_w2]
+    (du_ref, dz_ref, dw2_ref, db2_ref, dg2_ref, dbe2_ref) = rest[n_w2 + 1:]
+    w2p = tuple(r[...] for r in w2_refs)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+        dg2_ref[...] = jnp.zeros_like(dg2_ref)
+        dbe2_ref[...] = jnp.zeros_like(dbe2_ref)
+
+    g = g_ref[...].astype(jnp.float32)
+    z = z_ref[...]
+    u = u_ref[...]
+
+    dz, n2 = _ln_bwd(g, z, g2r[0])
+    dg2_ref[...] += jnp.sum(g * n2, axis=0, keepdims=True)
+    dbe2_ref[...] += jnp.sum(g, axis=0, keepdims=True)
+
+    h = _gelu_exact(u)                    # VPU-only (u is saved)
+    hp = _prep_act(h, mode)
+    dzp = _prep_act(dz, mode)
+    db2_ref[...] += jnp.sum(dz, axis=0, keepdims=True)
+    dw2_ref[...] += _dot_parts(hp, dzp, ((0,), (0,)), mode)   # (FF, D)
+    dh = _dot_parts(dzp, w2p, ((1,), (1,)), mode)             # (R, FF)
+    du_ref[...] = dh * _gelu_grad(u)
+    dz_ref[...] = dz
+
+
+def _ffn_bwd_kernel_b(r_ref, du_ref, dz_ref, *rest, pre_ln, mode, n_w1):
+    """dx/dW1 half: first-matmul gradients + LN1 backward.  Stationary:
+    W1 parts + dW1 accumulator.  Consumes kernel A's du/dz rows."""
+    w1_refs = rest[:n_w1]
+    g1r, be1r = rest[n_w1:n_w1 + 2]
+    (dr_ref, dw1_ref, db1_ref, dg1_ref, dbe1_ref) = rest[n_w1 + 2:]
+    w1p = tuple(r[...] for r in w1_refs)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        dg1_ref[...] = jnp.zeros_like(dg1_ref)
+        dbe1_ref[...] = jnp.zeros_like(dbe1_ref)
+
+    r = r_ref[...].astype(jnp.float32)
+    du = du_ref[...]
+    dz = dz_ref[...]
+    g1, be1 = g1r[0], be1r[0]
+
+    if pre_ln:
+        m1 = jnp.mean(r, axis=-1, keepdims=True)
+        v1 = jnp.mean((r - m1) * (r - m1), axis=-1, keepdims=True)
+        inv1 = jax.lax.rsqrt(v1 + LN_EPS)
+        n1 = (r - m1) * inv1
+        x1 = n1 * g1 + be1
+    else:
+        x1 = r
+    x1p = _prep_act(x1, mode)
+    dup = _prep_act(du, mode)
+    db1_ref[...] += jnp.sum(du, axis=0, keepdims=True)
+    dw1_ref[...] += _dot_parts(x1p, dup, ((0,), (0,)), mode)  # (D, FF)
+    dx1 = _dot_parts(dup, w1p, ((1,), (1,)), mode) + dz
+
+    if pre_ln:
+        dg1_ref[...] += jnp.sum(dx1 * n1, axis=0, keepdims=True)
+        dbe1_ref[...] += jnp.sum(dx1, axis=0, keepdims=True)
+        dn1 = dx1 * g1
+        dr = (dn1 - jnp.mean(dn1, axis=-1, keepdims=True)
+              - n1 * jnp.mean(dn1 * n1, axis=-1, keepdims=True)) * inv1
+    else:
+        dr = dx1
+    dr_ref[...] = dr.astype(dr_ref.dtype)
+
+
+def _ffn_bwd_pallas_split(r, g, w1, b1, w2, b2, g1, be1, g2, be2, pre_ln,
+                          mode, u, z):
+    """Residual-fed two-kernel backward (see block comment above)."""
+    assert u is not None and z is not None
+    orig_shape = r.shape
+    D = orig_shape[-1]
+    FFD = w1.shape[1]
+    x = r.reshape(-1, D)
+    gg = g.reshape(-1, D)
+    N = x.shape[0]
+    R = _BWD_ROW_BLOCK
+    if mode == "bf16x3" and D * FFD >= (1 << 18):
+        # hi/lo splits of the (R, FF) transients still triple the row
+        # footprint; with only half the stationary bytes per kernel,
+        # R=64 keeps each kernel ~11 MB of scoped VMEM at 256x2048.
+        R = min(R, 64)
+    R = min(R, max(8, N))
+    pad = (-N) % R
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+        gg = jnp.pad(gg, ((0, pad), (0, 0)))
+        u = jnp.pad(u, ((0, pad), (0, 0)))
+        z = jnp.pad(z, ((0, pad), (0, 0)))
+
+    if mode == "bf16x3":
+        w1p = _split_hi_lo(w1.astype(jnp.float32))
+        w2p = _split_hi_lo(w2.astype(jnp.float32))
+    elif mode == "bf16":
+        w1p = (w1.astype(jnp.bfloat16),)
+        w2p = (w2.astype(jnp.bfloat16),)
+    else:
+        w1p = (w1.astype(jnp.float32),)
+        w2p = (w2.astype(jnp.float32),)
+
+    row_spec = pl.BlockSpec((R, D), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    ff_spec = pl.BlockSpec((R, FFD), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+
+    def const_spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda i: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    grid = (x.shape[0] // R,)
+    f32 = jnp.float32
+
+    # ---- kernel A: LN2 + second matmul + GELU grad ----------------------
+    a_out = pl.pallas_call(
+        functools.partial(_ffn_bwd_kernel_a, mode=mode, n_w2=len(w2p)),
+        grid=grid,
+        in_specs=[row_spec, row_spec, ff_spec,
+                  *[const_spec(w.shape) for w in w2p],
+                  const_spec((1, D))],
+        out_specs=(ff_spec, row_spec, const_spec((FFD, D)),
+                   const_spec((1, D)), const_spec((1, D)),
+                   const_spec((1, D))),
+        out_shape=(jax.ShapeDtypeStruct((x.shape[0], FFD), f32),  # du
+                   jax.ShapeDtypeStruct(x.shape, f32),            # dz
+                   jax.ShapeDtypeStruct((FFD, D), f32),           # dW2
+                   jax.ShapeDtypeStruct((1, D), f32),             # db2
+                   jax.ShapeDtypeStruct((1, D), f32),             # dg2
+                   jax.ShapeDtypeStruct((1, D), f32)),            # dbe2
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(gg, z, u, *w2p, g2.reshape(1, D).astype(f32))
+    du, dz, dw2, db2, dg2, dbe2 = a_out
+
+    # ---- kernel B: first matmul + LN1 ------------------------------------
+    b_out = pl.pallas_call(
+        functools.partial(_ffn_bwd_kernel_b, pre_ln=pre_ln, mode=mode,
+                          n_w1=len(w1p)),
+        grid=grid,
+        in_specs=[row_spec, ff_spec, row_spec,
+                  *[const_spec(w.shape) for w in w1p],
+                  const_spec((1, D)), const_spec((1, D))],
+        out_specs=(row_spec, const_spec((D, FFD)), const_spec((1, FFD)),
+                   const_spec((1, D)), const_spec((1, D))),
+        out_shape=(jax.ShapeDtypeStruct(x.shape, r.dtype),        # dr
+                   jax.ShapeDtypeStruct((D, FFD), f32),           # dW1
+                   jax.ShapeDtypeStruct((1, FFD), f32),           # db1
+                   jax.ShapeDtypeStruct((1, D), f32),             # dg1
+                   jax.ShapeDtypeStruct((1, D), f32)),            # dbe1
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(x, du, dz, *w1p, g1.reshape(1, D).astype(f32),
+      be1.reshape(1, D).astype(f32))
+    dr, dw1, db1, dg1, dbe1 = b_out
+
+    if pad:
+        dr = dr[:N]
+    dr = dr.reshape(orig_shape)
+    if not pre_ln:
+        dg1v, dbe1v = jnp.zeros_like(g1), jnp.zeros_like(be1)
+    else:
+        dg1v, dbe1v = dg1[0].astype(g1.dtype), dbe1[0].astype(be1.dtype)
+    return (dr, dw1.astype(w1.dtype), db1[0].astype(b1.dtype),
+            dw2.astype(w2.dtype), db2[0].astype(b2.dtype),
+            dg1v, dbe1v,
+            dg2[0].astype(g2.dtype), dbe2[0].astype(be2.dtype))
+
+
 def _ffn_bwd_xla_from_residuals(r, g, w1, b1, w2, b2, g1, be1, g2, be2,
                                 pre_ln, u, z):
     """Residual-fed XLA backward: the saved u/z replace the forward
@@ -717,6 +910,9 @@ def fused_ffn(r, w1, b1, w2, b2, g1, be1, g2, be2, pre_ln=False,
 # runs recompute-free ("1", default); "0" restores the round-3
 # recompute-in-VMEM backward (A/B knob)
 _BWD_SAVE = _os.environ.get("KIT_FFN_BWD_SAVE", "1") == "1"
+# bf16x3 backward: two-kernel Pallas split ("1", default) vs the
+# residual-fed XLA backward ("0") — A/B knob; see _ffn_bwd_pallas_split
+_BWD_SPLIT = _os.environ.get("KIT_FFN_BWD_SPLIT", "1") == "1"
 
 
 def _bwd_native_ok(quantized, mode, w1) -> bool:
@@ -754,6 +950,13 @@ def _fused_ffn_vjp_bwd(pre_ln, quantized, res, g):
             return _ffn_bwd_pallas(r, g, w1, b1, w2, b2, g1, be1, g2,
                                    be2, pre_ln, mode, u, z)
         if u is not None:
+            if _BWD_SPLIT:
+                # two-kernel native split: halved stationary VMEM fits
+                # bf16x3 at the flagship width (the monolith doesn't),
+                # recompute-free, elementwise chains fused in-kernel.
+                return _ffn_bwd_pallas_split(
+                    r, g, w1, b1, w2, b2, g1, be1, g2, be2, pre_ln,
+                    mode, u, z)
             # residual-fed XLA backward: no forward-recompute matmuls;
             # ambient precision gives the XLA matmuls the same bf16x3
             # error model as the forward kernel.
