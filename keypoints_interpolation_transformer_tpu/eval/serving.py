@@ -52,10 +52,11 @@ class Inpainter:
             # the FF matmuls (2/3 of the FLOPs) run inside the fused
             # Pallas FF/merged-layer kernels' int8 mode (in-kernel
             # dynamic activation quantization, ops/pallas/ffn
-            # ._kernel_int8), and — round 4 — the attention q/k/v/out
-            # PROJECTIONS run int8 inside the merged encoder/decoder
-            # kernels too (layer_fused attn_int8; the attention core
-            # itself stays float).  The embeddings/head live inside the
+            # ._kernel_int8).  The attention q/k/v/out PROJECTIONS can
+            # also run int8 inside the merged kernels, but ONLY under
+            # the opt-in KIT_ATTN_INT8=1 (models/layers.py gates it;
+            # measured a net LOSS at D=256 — see the log below — so it
+            # is off by default).  The embeddings/head live inside the
             # fused pointwise kernels and stay float (108-wide — a
             # negligible FLOP share); any nn.Dense that still executes
             # (unfused fallbacks, Embedding variant) is intercepted by

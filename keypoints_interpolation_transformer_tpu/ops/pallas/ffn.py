@@ -721,6 +721,22 @@ def _ffn_bwd_kernel_b(r_ref, du_ref, dz_ref, *rest, pre_ln, mode, n_w1):
     dr_ref[...] = dr.astype(dr_ref.dtype)
 
 
+def _split_bwd_fits(D, FFD, R, mode, budget=14 << 20) -> bool:
+    """Explicit scoped-VMEM budget for the two split kernels (every
+    fused kernel budgets its stationary bytes and falls back — repo
+    rule).  Stationary (constant-index-map) operands: the weight parts
+    (bf16 hi/lo under bf16x3) plus the f32 dW accumulator.  Row-block
+    operands are double-buffered by Mosaic; bf16x3 adds the (R, 3*FF)
+    hi/lo concat transients of _dot3.  Budget 14 MB of the 16 MB scoped
+    limit, leaving headroom for Mosaic's own scratch."""
+    per_part = 2 if mode in ("bf16", "bf16x3") else 4
+    n_parts = 2 if mode == "bf16x3" else 1
+    stationary = D * FFD * (per_part * n_parts + 4)
+    rows = 2 * R * (3 * D + 2 * FFD) * 4
+    transient = R * 3 * FFD * 2 * (3 if mode == "bf16x3" else 1)
+    return stationary + rows + transient <= budget
+
+
 def _ffn_bwd_pallas_split(r, g, w1, b1, w2, b2, g1, be1, g2, be2, pre_ln,
                           mode, u, z):
     """Residual-fed two-kernel backward (see block comment above)."""
@@ -738,6 +754,9 @@ def _ffn_bwd_pallas_split(r, g, w1, b1, w2, b2, g1, be1, g2, be2, pre_ln,
         # R=64 keeps each kernel ~11 MB of scoped VMEM at 256x2048.
         R = min(R, 64)
     R = min(R, max(8, N))
+    if not _split_bwd_fits(D, FFD, R, mode):
+        return _ffn_bwd_xla_from_residuals(
+            r, g, w1, b1, w2, b2, g1, be1, g2, be2, pre_ln, u, z)
     pad = (-N) % R
     if pad:
         x = jnp.pad(x, ((0, pad), (0, 0)))
@@ -910,9 +929,15 @@ def fused_ffn(r, w1, b1, w2, b2, g1, be1, g2, be2, pre_ln=False,
 # runs recompute-free ("1", default); "0" restores the round-3
 # recompute-in-VMEM backward (A/B knob)
 _BWD_SAVE = _os.environ.get("KIT_FFN_BWD_SAVE", "1") == "1"
-# bf16x3 backward: two-kernel Pallas split ("1", default) vs the
-# residual-fed XLA backward ("0") — A/B knob; see _ffn_bwd_pallas_split
-_BWD_SPLIT = _os.environ.get("KIT_FFN_BWD_SPLIT", "1") == "1"
+# bf16x3 backward: residual-fed XLA backward (default) vs the two-kernel
+# Pallas split ("1", opt-in A/B knob; see _ffn_bwd_pallas_split).  The
+# split was briefly default in round 4 but measured a train-step
+# REGRESSION on the chip: 31.9 ms / 257K frames/s (split) vs 29.3 ms /
+# 279K (XLA residual-fed) at B=64 T=128 flagship bf16x3 — the two extra
+# kernel launches + the f32 du/dz HBM hand-off between kernels A and B
+# cost more than the in-kernel elementwise fusion saves, because XLA
+# already fuses those chains into its gradient matmuls.
+_BWD_SPLIT = _os.environ.get("KIT_FFN_BWD_SPLIT", "0") == "1"
 
 
 def _bwd_native_ok(quantized, mode, w1) -> bool:

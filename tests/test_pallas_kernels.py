@@ -674,6 +674,74 @@ def test_ffn_split_backward_matches_reference_vjp(rng, pre_ln):
                                    atol=5e-3)
 
 
+@pytest.mark.parametrize("pre_ln", [False, True])
+def test_ffn_split_backward_multicell_accumulation(rng, monkeypatch,
+                                                   pre_ln):
+    """Row block SMALLER than N (R=8, N=20 -> 3 grid cells + 4 padded
+    rows): exercises the pl.when(program_id==0) zero-init, the
+    cross-cell += accumulation of dW/db/dLN, and the padding branch of
+    both the split and the monolith backwards (ADVICE r4: the N=24
+    default gives grid=1, never accumulating)."""
+    from keypoints_interpolation_transformer_tpu.ops.pallas import ffn
+
+    monkeypatch.setattr(ffn, "_BWD_ROW_BLOCK", 8)
+    args = _ffn_operands(rng, N=20)
+    r, g_ops = args[0], args[1:]
+    g = jnp.asarray(rng.normal(size=r.shape).astype(np.float32))
+
+    with pltpu.force_tpu_interpret_mode(), \
+            jax.default_matmul_precision("highest"):
+        _, u, z = ffn._ffn_fwd_pallas(r, *g_ops, pre_ln,
+                                      want_residuals=True)
+    _, vjp = jax.vjp(lambda *a: ffn.ffn_reference(*a, pre_ln=pre_ln),
+                     r, *g_ops)
+    want = vjp(g)
+    with pltpu.force_tpu_interpret_mode():
+        got_split = ffn._ffn_bwd_pallas_split(r, g, *g_ops, pre_ln, "f32",
+                                              u, z)
+        got_mono = ffn._ffn_bwd_pallas(r, g, *g_ops, pre_ln, "f32", u, z)
+    for a, m, b in zip(got_split, got_mono, want):
+        s = float(jnp.max(jnp.abs(b))) + 1e-9
+        np.testing.assert_allclose(np.asarray(a) / s, np.asarray(b) / s,
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(m) / s, np.asarray(b) / s,
+                                   atol=1e-5)
+
+
+def test_ffn_split_backward_vmem_budget_fallback(rng, monkeypatch):
+    """Widths whose stationary bytes would overflow scoped VMEM must
+    fall back to the residual-fed XLA backward (and still be correct)."""
+    from keypoints_interpolation_transformer_tpu.ops.pallas import ffn
+
+    assert ffn._split_bwd_fits(256, 2048, 64, "bf16x3")      # flagship fits
+    assert not ffn._split_bwd_fits(2048, 8192, 64, "bf16x3")  # overflow
+
+    args = _ffn_operands(rng)
+    r, g_ops = args[0], args[1:]
+    g = jnp.asarray(rng.normal(size=r.shape).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode(), \
+            jax.default_matmul_precision("highest"):
+        _, u, z = ffn._ffn_fwd_pallas(r, *g_ops, False,
+                                      want_residuals=True)
+    # force the budget to reject: the split must route to the XLA path
+    monkeypatch.setattr(ffn, "_split_bwd_fits", lambda *a, **k: False)
+    calls = []
+    orig = ffn._ffn_bwd_xla_from_residuals
+    monkeypatch.setattr(
+        ffn, "_ffn_bwd_xla_from_residuals",
+        lambda *a, **k: calls.append(1) or orig(*a, **k))
+    _, vjp = jax.vjp(lambda *a: ffn.ffn_reference(*a, pre_ln=False),
+                     r, *g_ops)
+    want = vjp(g)
+    with jax.default_matmul_precision("highest"):
+        got = ffn._ffn_bwd_pallas_split(r, g, *g_ops, False, "f32", u, z)
+    assert calls, "budget-rejected split did not fall back to XLA"
+    for a, b in zip(got, want):
+        s = float(jnp.max(jnp.abs(b))) + 1e-9
+        np.testing.assert_allclose(np.asarray(a) / s, np.asarray(b) / s,
+                                   atol=1e-5)
+
+
 @pytest.mark.parametrize("self_attn,post_ln", [(True, False), (True, True),
                                                (False, False)])
 def test_attn_sublayer_native_backward_matches_reference(rng, self_attn,
