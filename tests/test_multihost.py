@@ -67,12 +67,16 @@ def test_two_process_run_matches_single_process(tmp_path):
     assert len(ref) == 2, single.stdout + single.stderr
 
     # 2 processes x 4 virtual devices, same global mesh: the data axis
-    # spans the two processes (hybrid DCN x ICI layout)
+    # spans the two processes (hybrid DCN x ICI layout).  This is THE
+    # canonical multi-process equality check, so it gets a widened retry
+    # budget (each failed rendezvous costs ~35 s; the single-process leg
+    # above has already warmed the shared compilation cache, which
+    # shrinks the per-rank compile skew that trips Gloo's 30 s window).
     outs = _run_multi(
         tmp_path, ["--checkpoint_dir", str(tmp_path / "ckpt_mp"),
                    "--results_dir", str(tmp_path / "res_mp"),
                    "--experiment_name", "mh_mp"],
-        n_proc=2, dev_per_proc=4)
+        n_proc=2, dev_per_proc=4, attempts=5)
     got = _losses(outs[0]) or _losses(outs[1])
     assert len(got) == 2, "\n".join(outs)
 
