@@ -93,21 +93,29 @@ def _bias_terms_T(mask_row, valid_row, T, kind, add_keypad, qry_offset=0,
     ``mul`` scales the FINITE keypad term only — used by the exp2
     softmax (logits pre-multiplied by log2(e) so the VPU evaluates
     exp2 instead of exp; the -1e9 blockers stay unscaled, they
-    saturate either way)."""
+    saturate either way).
+
+    Returns ``None`` when the bias is statically zero (kind "all", no
+    keypad, no valid mask — e.g. the decoder's cross-attention on full
+    batches): callers then skip the per-head bias adds entirely.
+    Key-only terms (keypad/valid) stay (T, 1) and broadcast in the add."""
     cols = T if cols is None else cols
-    key_i = jax.lax.broadcasted_iota(jnp.int32, (T, cols), 0)
-    qry_i = jax.lax.broadcasted_iota(jnp.int32, (T, cols), 1) + qry_offset
     mask_key = mask_row[:, None]
-    bias = jnp.zeros((T, cols), jnp.float32)
+    bias = None
     if kind == "repeat-inc":
+        key_i = jax.lax.broadcasted_iota(jnp.int32, (T, cols), 0)
+        qry_i = jax.lax.broadcasted_iota(jnp.int32, (T, cols), 1) \
+            + qry_offset
         blocked = jnp.logical_and(key_i > qry_i, mask_key > 0)
         bias = jnp.where(blocked, NEG, 0.0)
     elif kind != "all":
         raise ValueError(f"unsupported fused mask kind {kind!r}")
     if add_keypad:
-        bias = bias + mask_key * mul
+        kp = mask_key * mul
+        bias = kp if bias is None else bias + kp
     if valid_row is not None:
-        bias = bias + jnp.where(valid_row[:, None] > 0, 0.0, NEG)
+        vb = jnp.where(valid_row[:, None] > 0, 0.0, NEG)
+        bias = vb if bias is None else bias + vb
     return bias
 
 
@@ -174,6 +182,16 @@ import os as _os
 # T=128): bf16 probs 8.7e-5 masked-MPJPE vs f32 (inside the 1e-4 bar),
 # full split 1.1e-5.
 _PROB_SPLIT = _os.environ.get("KIT_ATTN_PROB_SPLIT", "0") == "1"
+
+# NOTE (round 5, measured): DEFERRED softmax normalization — feeding the
+# MXU the unnormalized exp2 outputs and scaling each query's attention
+# output row by 1/rowsum afterwards — was built and measured ~2x SLOWER
+# on the chip (attn sublayer x18: 21.5-23.2 ms vs 11.4 normalize-in-wide
+# at the flagship shape), in BOTH row-sum formulations (MXU ones-column
+# contraction and VPU sum + transpose): the (hg*T, 1) sublane-major
+# reciprocal vector and its per-head row-slicing force relayouts that
+# cost far more than the one full-wide normalize multiply they remove.
+# Lane-major wide phases are the only fast shape for this softmax.
 
 
 def _prob_parts(w, mode):
@@ -243,7 +261,7 @@ def _head_group(H, T, bq, mode="bf16"):
 
 def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, valid_ref, o_ref, *,
                  kind: str, add_keypad: bool, scale: float, heads: int,
-                 dh: int, bb: int, bq: int, mode: str):
+                 dh: int, bb: int, bq: int, mode: str, has_valid: bool):
     T = k_ref.shape[1]
     qry_offset = pl.program_id(1) * bq
     hg = _head_group(heads, T, bq, mode)
@@ -256,14 +274,16 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, valid_ref, o_ref, *,
         v = _prep(v_ref[b], mode)
         rows = q_ref.shape[1]
         # key-major bias, built ONCE per row; identical for every head
-        bias = _bias_terms_T(mask_ref[b, 0], valid_ref[b, 0], T, kind,
-                             add_keypad, qry_offset, rows, mul=LOG2E)
+        bias = _bias_terms_T(mask_ref[b, 0],
+                             valid_ref[b, 0] if has_valid else None, T,
+                             kind, add_keypad, qry_offset, rows, mul=LOG2E)
         for g in range(0, heads, hg):
             sts = []
             for h in range(g, g + hg):
                 qh = _slice_parts(q, h * dh, (h + 1) * dh)   # (BQ, dh)
                 kh = _slice_parts(k, h * dh, (h + 1) * dh)   # (T, dh)
-                sts.append(_dot(kh, qh, ((1,), (1,)), mode) + bias)
+                st = _dot(kh, qh, ((1,), (1,)), mode)
+                sts.append(st if bias is None else st + bias)
             wide = sts[0] if hg == 1 else jnp.concatenate(sts, axis=1)
             wide = wide - jnp.max(wide, axis=0, keepdims=True)
             e = jnp.exp2(wide)
@@ -294,6 +314,7 @@ def _fused_fwd(q, k, v, mask, valid, kind, add_keypad):
     B, T, H, dh = q.shape
     D = H * dh
     scale = 1.0 / math.sqrt(dh)
+    has_valid = valid is not None
     if valid is None:
         valid = jnp.ones((B, T), jnp.float32)
 
@@ -322,7 +343,7 @@ def _fused_fwd(q, k, v, mask, valid, kind, add_keypad):
     out = pl.pallas_call(
         functools.partial(_attn_kernel, kind=kind, add_keypad=add_keypad,
                           scale=scale, heads=H, dh=dh, bb=bb, bq=bq,
-                          mode=mode),
+                          mode=mode, has_valid=has_valid),
         grid=grid,
         in_specs=[q_spec, kv_spec, kv_spec, vec_spec, vec_spec],
         out_specs=q_spec,
@@ -335,15 +356,17 @@ def _fused_fwd(q, k, v, mask, valid, kind, add_keypad):
 
 def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, mask_ref, valid_ref,
                      dq_ref, dk_ref, dv_ref, *, kind: str, add_keypad: bool,
-                     scale: float, heads: int, dh: int, bb: int, mode: str):
+                     scale: float, heads: int, dh: int, bb: int, mode: str,
+                     has_valid: bool = True):
     T = q_ref.shape[1]
     for b in range(bb):
         q = _prep(q_ref[b], mode)             # (T, D) parts
         k = _prep(k_ref[b], mode)
         v = _prep(v_ref[b], mode)
         g = _prep(g_ref[b], mode)
-        bias = _bias_terms_T(mask_ref[b, 0], valid_ref[b, 0], T, kind,
-                             add_keypad)
+        bias = _bias_terms_T(mask_ref[b, 0],
+                             valid_ref[b, 0] if has_valid else None, T,
+                             kind, add_keypad)
         for h in range(heads):
             sl = slice(h * dh, (h + 1) * dh)
             qh = _slice_parts(q, h * dh, (h + 1) * dh)
@@ -351,7 +374,9 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, mask_ref, valid_ref,
             vh = _slice_parts(v, h * dh, (h + 1) * dh)
             gh = _slice_parts(g, h * dh, (h + 1) * dh)
             # key-major throughout: w_T is softmax over axis 0
-            st = _dot(kh, qh, ((1,), (1,)), mode) * scale + bias
+            st = _dot(kh, qh, ((1,), (1,)), mode) * scale
+            if bias is not None:
+                st = st + bias
             st = st - jnp.max(st, axis=0, keepdims=True)
             e = jnp.exp(st)
             wt = e * (1.0 / jnp.sum(e, axis=0, keepdims=True))  # (Tk,Tq) f32
@@ -374,6 +399,7 @@ def _fused_bwd_pallas(q, k, v, g, mask, valid, kind, add_keypad):
     B, T, H, dh = q.shape
     D = H * dh
     scale = 1.0 / math.sqrt(dh)
+    has_valid = valid is not None
     if valid is None:
         valid = jnp.ones((B, T), jnp.float32)
     qf, kf, vf, gf = (x.reshape(B, T, D) for x in (q, k, v, g))
@@ -389,7 +415,8 @@ def _fused_bwd_pallas(q, k, v, g, mask, valid, kind, add_keypad):
     dq, dk, dv = pl.pallas_call(
         functools.partial(_attn_bwd_kernel, kind=kind,
                           add_keypad=add_keypad, scale=scale, heads=H,
-                          dh=dh, bb=bb, mode=_mxu_mode(q.dtype)),
+                          dh=dh, bb=bb, mode=_mxu_mode(q.dtype),
+                          has_valid=has_valid),
         grid=(B // bb,),
         in_specs=[spec, spec, spec, spec, vec_spec, vec_spec],
         out_specs=(spec, spec, spec),

@@ -113,7 +113,8 @@ def _attn_core(q, k, v, bias, heads, dh, mode, want_probs=False):
         for h in range(g, g + hg):
             qh = _slice_parts(qp, h * dh, (h + 1) * dh)
             kh = _slice_parts(kp, h * dh, (h + 1) * dh)
-            sts.append(_dot(kh, qh, ((1,), (1,)), mode) + bias)
+            st = _dot(kh, qh, ((1,), (1,)), mode)
+            sts.append(st if bias is None else st + bias)
         wide = sts[0] if hg == 1 else jnp.concatenate(sts, axis=1)
         wide = wide - jnp.max(wide, axis=0, keepdims=True)
         e = jnp.exp2(wide)
@@ -133,7 +134,8 @@ def _attn_core(q, k, v, bias, heads, dh, mode, want_probs=False):
 
 
 def _sublayer_kernel(x_ref, mem_ref, mask_ref, valid_ref, *rest, kind,
-                     add_keypad, heads, dh, bb, mode, post_ln, n_w):
+                     add_keypad, heads, dh, bb, mode, post_ln, n_w,
+                     has_valid):
     # rest = weight part refs (n_w of them), bq, bk, bv, bo, [g, be], o_ref
     # mem_ref IS x_ref for self-attention (single DMA).
     w_refs = rest[:n_w]
@@ -158,8 +160,9 @@ def _sublayer_kernel(x_ref, mem_ref, mask_ref, valid_ref, *rest, kind,
         q = _proj(xp, wq, bq_, mode)
         k = _proj(mp, wk, bk_, mode)
         v = _proj(mp, wv, bv_, mode)
-        bias = _bias_terms_T(mask_ref[b, 0], valid_ref[b, 0], T, kind,
-                             add_keypad, 0, T, mul=_LOG2E)
+        bias = _bias_terms_T(mask_ref[b, 0],
+                             valid_ref[b, 0] if has_valid else None, T,
+                             kind, add_keypad, 0, T, mul=_LOG2E)
         a = _attn_core(q, k, v, bias, heads, dh, mode)
         r = x + _proj(_prep(a, mode), wo, bo_, mode)
         if post_ln:
@@ -170,18 +173,28 @@ def _sublayer_kernel(x_ref, mem_ref, mask_ref, valid_ref, *rest, kind,
 
 def _sublayer_train_kernel(x_ref, mem_ref, mask_ref, valid_ref, *rest,
                            kind, add_keypad, heads, dh, bb, mode,
-                           post_ln, n_w, qs):
+                           post_ln, n_w, qs, has_valid, save_probs=True):
     """Training forward: same math as _sublayer_kernel but with UNFOLDED
     q weights (the scale*log2e fold happens in-kernel so the saved q
     residual is the plain projection output) and residual outputs
-    (q, k, v, a, probs[, r]) for the native backward."""
+    (q, k, v, a, probs[, r]) for the native backward.
+
+    ``save_probs=False`` (256 < T <= _MAX_T, where the (T, H*T) probs
+    block outgrows scoped VMEM) omits the probs residual; the backward
+    then recomputes each head's softmax from the saved q/k (see
+    _sublayer_bwd_kernel's recompute mode)."""
     w_refs = rest[:n_w]
     b_refs = rest[n_w:n_w + 4]
-    n_out = 7 if post_ln else 6
+    n_out = (6 if save_probs else 5) + (1 if post_ln else 0)
     ln_refs = rest[n_w + 4:-n_out]
     outs = rest[-n_out:]
-    o_ref, q_ref, k_ref, v_ref, a_ref, w_ref = outs[:6]
-    r_ref = outs[6] if post_ln else None
+    if save_probs:
+        o_ref, q_ref, k_ref, v_ref, a_ref, w_ref = outs[:6]
+        r_ref = outs[6] if post_ln else None
+    else:
+        o_ref, q_ref, k_ref, v_ref, a_ref = outs[:5]
+        w_ref = None
+        r_ref = outs[5] if post_ln else None
     per = n_w // 4
     wq, wk, wv, wo = (tuple(r[...] for r in w_refs[i * per:(i + 1) * per])
                       for i in range(4))
@@ -197,10 +210,14 @@ def _sublayer_train_kernel(x_ref, mem_ref, mask_ref, valid_ref, *rest,
         q = _proj(xp, wq, bq_, mode)          # UNSCALED (saved residual)
         k = _proj(mp, wk, bk_, mode)
         v = _proj(mp, wv, bv_, mode)
-        bias = _bias_terms_T(mask_ref[b, 0], valid_ref[b, 0], T, kind,
-                             add_keypad, 0, T, mul=_LOG2E)
-        a, w = _attn_core(q * qs, k, v, bias, heads, dh, mode,
-                          want_probs=True)
+        bias = _bias_terms_T(mask_ref[b, 0],
+                             valid_ref[b, 0] if has_valid else None, T,
+                             kind, add_keypad, 0, T, mul=_LOG2E)
+        if save_probs:
+            a, w = _attn_core(q * qs, k, v, bias, heads, dh, mode,
+                              want_probs=True)
+        else:
+            a = _attn_core(q * qs, k, v, bias, heads, dh, mode)
         r = x + _proj(_prep(a, mode), wo, bo_, mode)
         q_ref[b] = q
         k_ref[b] = k
@@ -210,7 +227,8 @@ def _sublayer_train_kernel(x_ref, mem_ref, mask_ref, valid_ref, *rest,
         # residual's HBM traffic, and matches the forward's bf16
         # probability-feed error model (the AV matmul already consumes
         # bf16 probs); f32 under mode "f32" (gradient-parity tests)
-        w_ref[b] = w.astype(w_ref.dtype)
+        if save_probs:
+            w_ref[b] = w.astype(w_ref.dtype)
         if post_ln:
             r_ref[b] = r
             r = _ln(r, ln_refs[0][0].astype(jnp.float32),
@@ -239,7 +257,7 @@ def fused_attn_sublayer_supported(T: int, D: int = 0) -> bool:
 
 
 def _fwd_pallas(x, memory, params, mask, valid, kind, add_keypad, post_ln,
-                heads, want_residuals=False):
+                heads, want_residuals=False, save_probs=True):
     wq, bq_, wk, bk_, wv, bv_, wo, bo_, ln_scale, ln_bias = params
     B, T, D = x.shape
     dh = D // heads
@@ -252,6 +270,7 @@ def _fwd_pallas(x, memory, params, mask, valid, kind, add_keypad, post_ln,
         # residual is the plain projection output.
         wq = wq * qscale
         bq_ = bq_ * qscale
+    has_valid = valid is not None
     if valid is None:
         valid = jnp.ones((B, T), jnp.float32)
     mode = _mxu_mode(x.dtype)
@@ -260,8 +279,10 @@ def _fwd_pallas(x, memory, params, mask, valid, kind, add_keypad, post_ln,
         # the residual outputs (5-6 extra (bb, T, D)/(bb, T, H*T) blocks)
         # roughly triple the per-cell VMEM footprint
         bb = min(bb, 2)
-        if T * heads * T * 4 * bb > (1 << 21):  # probs block budget
-            bb = 1
+        if save_probs and T * heads * T * 4 * bb > (1 << 21):
+            bb = 1  # probs block budget
+        if not save_probs:
+            bb = 1  # long T: 6-7 f32 (T, D) residual blocks per cell
     self_attn = memory is None
 
     row_spec = pl.BlockSpec((bb, T, D), lambda b: (b, 0, 0),
@@ -306,16 +327,21 @@ def _fwd_pallas(x, memory, params, mask, valid, kind, add_keypad, post_ln,
             _sublayer_train_kernel(
                 x_ref, mem_ref, rest[0], rest[1], *rest[2:],
                 kind=kind, add_keypad=add_keypad, heads=heads, dh=dh,
-                bb=bb, mode=mode, post_ln=post_ln, n_w=n_w, qs=qscale)
+                bb=bb, mode=mode, post_ln=post_ln, n_w=n_w, qs=qscale,
+                has_valid=has_valid, save_probs=save_probs)
 
         f32row = jax.ShapeDtypeStruct((B, T, D), jnp.float32)
-        prob_spec = pl.BlockSpec((bb, T, heads * T), lambda b: (b, 0, 0),
-                                 memory_space=pltpu.VMEM)
-        prob_dt = jnp.float32 if mode == "f32" else jnp.bfloat16
         out_shape = [jax.ShapeDtypeStruct(x.shape, x.dtype),
-                     f32row, f32row, f32row, f32row,
-                     jax.ShapeDtypeStruct((B, T, heads * T), prob_dt)]
-        out_specs = [row_spec] * 5 + [prob_spec]
+                     f32row, f32row, f32row, f32row]
+        out_specs = [row_spec] * 5
+        if save_probs:
+            prob_spec = pl.BlockSpec((bb, T, heads * T),
+                                     lambda b: (b, 0, 0),
+                                     memory_space=pltpu.VMEM)
+            prob_dt = jnp.float32 if mode == "f32" else jnp.bfloat16
+            out_shape.append(
+                jax.ShapeDtypeStruct((B, T, heads * T), prob_dt))
+            out_specs.append(prob_spec)
         if post_ln:
             out_shape.append(f32row)
             out_specs.append(row_spec)
@@ -328,8 +354,13 @@ def _fwd_pallas(x, memory, params, mask, valid, kind, add_keypad, post_ln,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel",)),
         )(*operands)
-        y, q, k, v, a, w = outs[:6]
-        r = outs[6] if post_ln else None
+        if save_probs:
+            y, q, k, v, a, w = outs[:6]
+            r = outs[6] if post_ln else None
+        else:
+            y, q, k, v, a = outs[:5]
+            w = None
+            r = outs[5] if post_ln else None
         return y, (q, k, v, a, w, r)
 
     def kernel(x_ref, *refs):
@@ -339,7 +370,8 @@ def _fwd_pallas(x, memory, params, mask, valid, kind, add_keypad, post_ln,
             mem_ref, rest = refs[0], refs[1:]
         _sublayer_kernel(x_ref, mem_ref, rest[0], rest[1], *rest[2:],
                          kind=kind, add_keypad=add_keypad, heads=heads,
-                         dh=dh, bb=bb, mode=mode, post_ln=post_ln, n_w=n_w)
+                         dh=dh, bb=bb, mode=mode, post_ln=post_ln, n_w=n_w,
+                         has_valid=has_valid)
 
     return pl.pallas_call(
         kernel,
@@ -361,10 +393,23 @@ def _fwd_pallas(x, memory, params, mask, valid, kind, add_keypad, post_ln,
 
 
 def _sublayer_bwd_kernel(*refs, self_attn, post_ln, heads, dh, bb, mode,
-                         n_w, scale):
+                         n_w, scale, recompute=False, kind="all",
+                         add_keypad=False, has_valid=True):
+    """Residual-fed backward.  ``recompute=False`` consumes the saved
+    softmax probabilities; ``recompute=True`` (256 < T <= _MAX_T, where
+    the (T, H*T) probs residual outgrows scoped VMEM) rebuilds each
+    head's probabilities from the saved q/k — the exact forward compute
+    (same scaled-q bf16 split, exp2 softmax, bias build), per (T, T)
+    head tile so only one tile is ever live."""
     from .ffn import _ln_bwd
-    x_ref, dy_ref, q_ref, k_ref, v_ref, a_ref, w_ref = refs[:7]
-    idx = 7
+    x_ref, dy_ref, q_ref, k_ref, v_ref, a_ref = refs[:6]
+    if recompute:
+        mask_ref, valid_ref = refs[6], refs[7]
+        w_ref = None
+        idx = 8
+    else:
+        w_ref = refs[6]
+        idx = 7
     mem_ref = None
     if not self_attn:
         mem_ref = refs[idx]
@@ -421,7 +466,18 @@ def _sublayer_bwd_kernel(*refs, self_attn, post_ln, heads, dh, bb, mode,
         qp = _prep(q_ref[b], mode)
         kp = _prep(k_ref[b], mode)
         vp = _prep(v_ref[b], mode)
-        wprob = w_ref[b]                                  # (Tk, H*Tq) f32
+        if recompute:
+            wprob = None
+            # the forward scaled q BEFORE the bf16 split (_attn_core got
+            # q * qscale); reproduce exactly so the rebuilt probs match
+            # the ones the forward's AV matmul consumed
+            qsc = _prep(q_ref[b].astype(jnp.float32) * (scale * _LOG2E),
+                        mode)
+            bias = _bias_terms_T(
+                mask_ref[b, 0], valid_ref[b, 0] if has_valid else None,
+                T, kind, add_keypad, 0, T, mul=_LOG2E)
+        else:
+            wprob = w_ref[b]                              # (Tk, H*Tq) f32
         dap = _prep(da, mode)
         dqs, dks, dvs = [], [], []
         for h in range(heads):
@@ -430,8 +486,21 @@ def _sublayer_bwd_kernel(*refs, self_attn, post_ln, heads, dh, bb, mode,
             vh = _slice_parts(vp, lo, hi)
             qh = _slice_parts(qp, lo, hi)
             kh = _slice_parts(kp, lo, hi)
-            wt = jax.lax.slice_in_dim(wprob, h * T, (h + 1) * T,
-                                      axis=1).astype(jnp.float32)
+            if recompute:
+                qsh = _slice_parts(qsc, lo, hi)
+                st = _dot(kh, qsh, ((1,), (1,)), mode)    # (Tk, Tq)
+                if bias is not None:
+                    st = st + bias
+                st = st - jnp.max(st, axis=0, keepdims=True)
+                ex = jnp.exp2(st)
+                wt = ex * (1.0 / jnp.sum(ex, axis=0, keepdims=True))
+                if mode != "f32":
+                    # the forward's AV matmul consumed bf16 probs; the
+                    # saved-probs path reads them back as bf16 too
+                    wt = wt.astype(jnp.bfloat16).astype(jnp.float32)
+            else:
+                wt = jax.lax.slice_in_dim(wprob, h * T, (h + 1) * T,
+                                          axis=1).astype(jnp.float32)
             wl = _prob_parts(wt, mode)
             dvs.append(_prob_dot(wl, gh, ((1,), (0,)), mode))   # (Tk, dh)
             gw = _dot(vh, gh, ((1,), (1,)), mode)               # (Tk, Tq)
@@ -474,15 +543,21 @@ def _bwd_batch_block(B, T, D, heads):
     return 1
 
 
-def _bwd_pallas(x, memory, params, residuals, g, post_ln, heads):
+def _bwd_pallas(x, memory, params, residuals, g, post_ln, heads,
+                mask=None, valid=None, kind="repeat-inc",
+                add_keypad=False):
     from .ffn import _split_hi_lo
     wq, bq_, wk, bk_, wv, bv_, wo, bo_, ln_scale, ln_bias = params
     q, k, v, a, w, r = residuals
+    recompute = w is None     # probs residual omitted at 256 < T <= _MAX_T
     B, T, D = x.shape
     dh = D // heads
     scale = 1.0 / math.sqrt(dh)
     mode = _mxu_mode(x.dtype)
     self_attn = memory is None
+    has_valid = valid is not None
+    if recompute and valid is None:
+        valid = jnp.ones((B, T), jnp.float32)
 
     if mode == "bf16x3":
         w_ops = [p for wx in (wq, wk, wv, wo)
@@ -493,19 +568,27 @@ def _bwd_pallas(x, memory, params, residuals, g, post_ln, heads):
         w_ops = [wx.astype(jnp.float32) for wx in (wq, wk, wv, wo)]
     n_w = len(w_ops)
 
-    bb = _bwd_batch_block(B, T, D, heads)
+    bb = 1 if recompute else _bwd_batch_block(B, T, D, heads)
     row_spec = pl.BlockSpec((bb, T, D), lambda b: (b, 0, 0),
                             memory_space=pltpu.VMEM)
-    prob_spec = pl.BlockSpec((bb, T, heads * T), lambda b: (b, 0, 0),
-                             memory_space=pltpu.VMEM)
 
     def const_spec(shape):
         nd = len(shape)
         return pl.BlockSpec(shape, lambda b: (0,) * nd,
                             memory_space=pltpu.VMEM)
 
-    operands = [x, g, q, k, v, a, w]
-    specs = [row_spec] * 6 + [prob_spec]
+    operands = [x, g, q, k, v, a]
+    specs = [row_spec] * 6
+    if recompute:
+        vec_spec = pl.BlockSpec((bb, 1, T), lambda b: (b, 0, 0),
+                                memory_space=pltpu.VMEM)
+        operands += [mask[:, None, :], valid[:, None, :]]
+        specs += [vec_spec, vec_spec]
+    else:
+        prob_spec = pl.BlockSpec((bb, T, heads * T), lambda b: (b, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        operands.append(w)
+        specs.append(prob_spec)
     if not self_attn:
         operands.append(memory)
         specs.append(row_spec)
@@ -535,7 +618,9 @@ def _bwd_pallas(x, memory, params, residuals, g, post_ln, heads):
     outs = pl.pallas_call(
         functools.partial(_sublayer_bwd_kernel, self_attn=self_attn,
                           post_ln=post_ln, heads=heads, dh=dh, bb=bb,
-                          mode=mode, n_w=n_w, scale=scale),
+                          mode=mode, n_w=n_w, scale=scale,
+                          recompute=recompute, kind=kind,
+                          add_keypad=add_keypad, has_valid=has_valid),
         grid=(B // bb,),
         in_specs=specs,
         out_specs=tuple(out_specs),
@@ -603,25 +688,46 @@ def fused_attn_sublayer(x, memory, params, masks, kind="repeat-inc",
 import os as _os
 _SUB_BWD_NATIVE = _os.environ.get("KIT_ATTN_SUBLAYER_BWD", "1") == "1"
 
+# probs-residual VMEM budget: the (T, H*T) block is double-buffered as a
+# pipeline block in both the training forward (output) and the backward
+# (input); past ~2 MB it blows scoped VMEM together with the ~10 row
+# tensors (f32-element accounting, matching the forward's bb gate)
+_PROBS_RESIDUAL_BYTES = 1 << 21
+
+
+def _sub_bwd_mode(dtype, T, heads) -> Optional[str]:
+    """Native-backward flavor for this shape, or None (XLA recompute VJP).
+
+    "residual": the training forward saves the softmax probs and the
+    backward is fully recompute-free (T <= 256 at 8 heads).
+    "recompute": 256 < T <= _MAX_T — the probs block no longer fits
+    scoped VMEM, so the forward saves only q/k/v/a(/r) and the backward
+    rebuilds each head's (T, T) probs tile from the saved projections
+    (still no projection or out-projection recompute; this is what lifts
+    the training T-cap the round-4 verdict flagged)."""
+    from ...models.completer import _attention_platform
+    if not (_SUB_BWD_NATIVE and _mxu_mode(dtype) in ("bf16", "bf16x3")
+            and _attention_platform() == "tpu"):
+        return None
+    if T * heads * T * 4 <= _PROBS_RESIDUAL_BYTES:
+        return "residual"
+    if T <= _MAX_T and T % 8 == 0:
+        return "recompute"
+    return None
+
 
 def _sub_bwd_native_ok(dtype, T, heads) -> bool:
-    from ...models.completer import _attention_platform
-    # the (T, H*T) f32 probs residual is double-buffered as a pipeline
-    # block in both the training forward (output) and the backward
-    # (input); past ~2 MB it blows the scoped-VMEM budget together with
-    # the ~10 row tensors — longer T falls back to the XLA recompute VJP
-    fits = T * heads * T * 4 <= (1 << 21)
-    return (_SUB_BWD_NATIVE and fits
-            and _mxu_mode(dtype) in ("bf16", "bf16x3")
-            and _attention_platform() == "tpu")
+    return _sub_bwd_mode(dtype, T, heads) is not None
 
 
 def _vjp_fwd(x, memory, params, masks, kind, add_keypad, post_ln, heads):
     mask, valid = masks
-    if _sub_bwd_native_ok(x.dtype, x.shape[1], heads):
+    bwd_mode = _sub_bwd_mode(x.dtype, x.shape[1], heads)
+    if bwd_mode is not None:
         out, res = _fwd_pallas(x, memory, params, mask, valid, kind,
                                add_keypad, post_ln, heads,
-                               want_residuals=True)
+                               want_residuals=True,
+                               save_probs=bwd_mode == "residual")
         return out, (x, memory, params, masks, res)
     out = fused_attn_sublayer(x, memory, params, masks, kind, add_keypad,
                               post_ln, heads)
@@ -634,7 +740,9 @@ def _vjp_bwd(kind, add_keypad, post_ln, heads, res, g):
 
     if residuals is not None:
         dx, dmem, dparams = _bwd_pallas(x, memory, params, residuals, g,
-                                        post_ln, heads)
+                                        post_ln, heads, mask=mask,
+                                        valid=valid, kind=kind,
+                                        add_keypad=add_keypad)
         return dx, dmem, dparams, (None, None)
 
     if memory is None:

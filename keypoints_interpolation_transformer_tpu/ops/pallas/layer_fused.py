@@ -75,7 +75,8 @@ def _quant_pairs(ws):
 
 
 def _enc_kernel(x_ref, mask_ref, valid_ref, *rest, kind, add_keypad,
-                heads, dh, bb, mode, n_w, ff_int8=False, attn_int8=False):
+                heads, dh, bb, mode, n_w, ff_int8=False, attn_int8=False,
+                has_valid=True):
     w_refs = rest[:n_w]
     (bq_r, bk_r, bv_r, bo_r, b1_r, b2_r, g1_r, be1_r, g2_r,
      be2_r) = rest[n_w:n_w + 10]
@@ -130,8 +131,9 @@ def _enc_kernel(x_ref, mask_ref, valid_ref, *rest, kind, add_keypad,
     outs = []
     for b in range(bb):
         rows = slice(b * T, (b + 1) * T)
-        bias = _bias_terms_T(mask_ref[b, 0], valid_ref[b, 0], T, kind,
-                             add_keypad, 0, T, mul=_LOG2E)
+        bias = _bias_terms_T(mask_ref[b, 0],
+                             valid_ref[b, 0] if has_valid else None, T,
+                             kind, add_keypad, 0, T, mul=_LOG2E)
         outs.append(_attn_core(q_all[rows], k_all[rows], v_all[rows],
                                bias, heads, dh, mode))
     a_all = outs[0] if bb == 1 else jnp.concatenate(outs, axis=0)
@@ -164,6 +166,7 @@ def _enc_fwd_pallas(x, params, mask, valid, kind, add_keypad, heads,
     qscale = _LOG2E / math.sqrt(dh)
     wq = wq * qscale
     bq_ = bq_ * qscale
+    has_valid = valid is not None
     if valid is None:
         valid = jnp.ones((B, T), jnp.float32)
     mode = _mxu_mode(x.dtype)
@@ -196,7 +199,8 @@ def _enc_fwd_pallas(x, params, mask, valid, kind, add_keypad, heads,
     return pl.pallas_call(
         functools.partial(_enc_kernel, kind=kind, add_keypad=add_keypad,
                           heads=heads, dh=dh, bb=bb, mode=mode, n_w=n_w,
-                          ff_int8=ff_int8, attn_int8=attn_int8),
+                          ff_int8=ff_int8, attn_int8=attn_int8,
+                          has_valid=has_valid),
         grid=(B // bb,),
         in_specs=[row_spec, vec_spec, vec_spec,
                   *[const_spec(w.shape) for w in w_ops],
@@ -235,7 +239,7 @@ def encoder_layer_reference(x, params, mask, valid, kind, add_keypad,
 def _dec_kernel(x_ref, mem_ref, smask_ref, svalid_ref, cmask_ref,
                 cvalid_ref, *rest, skind, sadd_keypad, ckind,
                 cadd_keypad, heads, dh, bb, mode, n_w, with_ff,
-                attn_int8=False):
+                attn_int8=False, has_svalid=True, has_cvalid=True):
     w_refs = rest[:n_w]
     n_attn_w = n_w - (2 if with_ff else 0)
     b_refs = rest[n_w:n_w + 8]
@@ -269,8 +273,9 @@ def _dec_kernel(x_ref, mem_ref, smask_ref, svalid_ref, cmask_ref,
             q = _proj(xp, sq, sbq, mode)
             k = _proj(xp, sk, sbk, mode)
             v = _proj(xp, sv, sbv, mode)
-        bias = _bias_terms_T(smask_ref[b, 0], svalid_ref[b, 0], T, skind,
-                             sadd_keypad, 0, T, mul=_LOG2E)
+        bias = _bias_terms_T(smask_ref[b, 0],
+                             svalid_ref[b, 0] if has_svalid else None, T,
+                             skind, sadd_keypad, 0, T, mul=_LOG2E)
         a = _attn_core(q, k, v, bias, heads, dh, mode)
         if attn_int8:
             x1 = _ln(x + _int8_dot(a, so[0], so[1][0]) + sbo, g1, be1)
@@ -283,8 +288,9 @@ def _dec_kernel(x_ref, mem_ref, smask_ref, svalid_ref, cmask_ref,
             q2 = _proj(_prep(x1, mode), cq, cbq, mode)
             k2 = _proj(mp, ck, cbk, mode)
             v2 = _proj(mp, cv, cbv, mode)
-        cbias = _bias_terms_T(cmask_ref[b, 0], cvalid_ref[b, 0], T, ckind,
-                              cadd_keypad, 0, T, mul=_LOG2E)
+        cbias = _bias_terms_T(cmask_ref[b, 0],
+                              cvalid_ref[b, 0] if has_cvalid else None, T,
+                              ckind, cadd_keypad, 0, T, mul=_LOG2E)
         a2 = _attn_core(q2, k2, v2, cbias, heads, dh, mode)
         if attn_int8:
             r = x1 + _int8_dot(a2, co[0], co[1][0]) + cbo
@@ -309,6 +315,8 @@ def _dec_fwd_pallas(x, memory, params, smask, svalid, cmask, cvalid,
     qscale = _LOG2E / math.sqrt(dh)
     sqw, sqb = sqw * qscale, sqb * qscale
     cqw, cqb = cqw * qscale, cqb * qscale
+    has_svalid = svalid is not None
+    has_cvalid = cvalid is not None
     if svalid is None:
         svalid = jnp.ones((B, T), jnp.float32)
     if cvalid is None:
@@ -346,7 +354,8 @@ def _dec_fwd_pallas(x, memory, params, smask, svalid, cmask, cvalid,
                           sadd_keypad=sadd_keypad, ckind=ckind,
                           cadd_keypad=cadd_keypad, heads=heads, dh=dh,
                           bb=bb, mode=mode, n_w=n_w, with_ff=with_ff,
-                          attn_int8=attn_int8),
+                          attn_int8=attn_int8, has_svalid=has_svalid,
+                          has_cvalid=has_cvalid),
         grid=(B // bb,),
         in_specs=[row_spec, row_spec, vec_spec, vec_spec, vec_spec,
                   vec_spec, *[const_spec(w.shape) for w in w_ops],

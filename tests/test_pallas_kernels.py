@@ -808,6 +808,95 @@ def test_attn_sublayer_native_backward_matches_reference(rng, self_attn,
             close(a, b)
 
 
+@pytest.mark.parametrize("self_attn,post_ln", [(True, False), (True, True),
+                                               (False, False)])
+def test_attn_sublayer_recompute_backward_matches_reference(rng, self_attn,
+                                                            post_ln):
+    """The long-T native backward (256 < T <= _MAX_T): the training
+    forward omits the probs residual (save_probs=False) and the backward
+    rebuilds each head's (T, T) probs tile from the saved q/k — gradients
+    still match jax.vjp of the XLA reference."""
+    from keypoints_interpolation_transformer_tpu.ops.pallas import \
+        attn_sublayer as asl
+
+    x, mem, params, mask, valid = _sublayer_args(rng, T=16, D=32,
+                                                 post_ln=post_ln)
+    memory = None if self_attn else mem
+    kind = "repeat-inc" if self_attn else "all"
+    g = jnp.asarray(rng.normal(size=x.shape).astype(np.float32))
+
+    with pltpu.force_tpu_interpret_mode(), \
+            jax.default_matmul_precision("highest"):
+        y0 = asl._fwd_pallas(x, memory, params, mask, valid, kind,
+                             self_attn, post_ln, 4)
+        y1, res = asl._fwd_pallas(x, memory, params, mask, valid, kind,
+                                  self_attn, post_ln, 4,
+                                  want_residuals=True, save_probs=False)
+    assert res[4] is None  # no probs residual saved
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=2e-6)
+
+    if memory is None:
+        def ref(x_, params_):
+            return asl.attn_sublayer_reference(x_, None, params_, mask,
+                                               valid, kind, self_attn,
+                                               post_ln, 4)
+        with jax.default_matmul_precision("highest"):
+            _, vjp = jax.vjp(ref, x, params)
+            want_dx, want_dp = vjp(g)
+            want_dmem = None
+    else:
+        def ref(x_, m_, params_):
+            return asl.attn_sublayer_reference(x_, m_, params_, mask,
+                                               valid, kind, self_attn,
+                                               post_ln, 4)
+        with jax.default_matmul_precision("highest"):
+            _, vjp = jax.vjp(ref, x, memory, params)
+            want_dx, want_dmem, want_dp = vjp(g)
+
+    with pltpu.force_tpu_interpret_mode(), \
+            jax.default_matmul_precision("highest"):
+        dx, dmem, dp = asl._bwd_pallas(x, memory, params, res, g,
+                                       post_ln, 4, mask=mask, valid=valid,
+                                       kind=kind, add_keypad=self_attn)
+
+    gscale = max(float(jnp.max(jnp.abs(t)))
+                 for t in [want_dx, *want_dp] if t.size) + 1e-9
+
+    def close(a, b):
+        np.testing.assert_allclose(np.asarray(a) / gscale,
+                                   np.asarray(b) / gscale, atol=2e-5)
+
+    close(dx, want_dx)
+    if memory is not None:
+        close(dmem, want_dmem)
+    for a, b in zip(dp, want_dp):
+        if a.size:
+            close(a, b)
+
+
+def test_sub_bwd_mode_shape_routing():
+    """Mode routing: probs residual to T<=256 (8 heads), recompute to
+    256<T<=512, XLA beyond — on-TPU gate aside (forced via env default)."""
+    from keypoints_interpolation_transformer_tpu.ops.pallas import \
+        attn_sublayer as asl
+
+    # platform gate: only check the shape arithmetic (pretend TPU)
+    import keypoints_interpolation_transformer_tpu.models.completer as mc
+    orig = mc._attention_platform
+    mc._attention_platform = lambda: "tpu"
+    try:
+        with jax.default_matmul_precision("high"):
+            assert asl._sub_bwd_mode(jnp.float32, 128, 8) == "residual"
+            assert asl._sub_bwd_mode(jnp.float32, 256, 8) == "residual"
+            assert asl._sub_bwd_mode(jnp.float32, 384, 8) == "recompute"
+            assert asl._sub_bwd_mode(jnp.float32, 512, 8) == "recompute"
+            assert asl._sub_bwd_mode(jnp.float32, 1024, 8) is None
+        with jax.default_matmul_precision("highest"):
+            assert asl._sub_bwd_mode(jnp.float32, 128, 8) is None
+    finally:
+        mc._attention_platform = orig
+
+
 @pytest.mark.parametrize("pe_residual", [False, True])
 def test_fused_pre_stream_embed_matches_reference(rng, pe_residual):
     """The embed-folded pre-stream kernel (108 lane-padded to 128) equals
