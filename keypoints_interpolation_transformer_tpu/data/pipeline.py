@@ -215,6 +215,31 @@ class KeypointDataset:
                           if k not in ("ids",)}
                 yield t_pad, picked, weight
 
+    def device_batch_plan(self, buckets: Dict[int, dict], batch_size: int,
+                          shuffle: bool = False, seed: int = 0):
+        """Stacked per-bucket batch plan for device-side epoch chaining
+        (train/steps.make_chained_train_step): yields (t_pad, entry,
+        rows (n, B) int32 device, weights (n, B) f32 host) with EXACTLY
+        the batch composition device_batches() would produce — the same
+        rng stream drives the per-bucket permutations, so chained and
+        per-step epochs see identical batches."""
+        rng = np.random.default_rng(seed)
+        for t_pad, entry in buckets.items():
+            n = len(entry["ids"])
+            order = rng.permutation(n) if shuffle else np.arange(n)
+            rws, wts = [], []
+            for s in range(0, n, batch_size):
+                rows = order[s:s + batch_size]
+                fill = batch_size - len(rows)
+                wts.append(np.concatenate(
+                    [np.ones(len(rows), np.float32),
+                     np.zeros(fill, np.float32)]))
+                if fill:
+                    rows = np.concatenate([rows, [rows[0]] * fill])
+                rws.append(rows.astype(np.int32))
+            yield (t_pad, entry, jnp.asarray(np.stack(rws)),
+                   np.stack(wts))
+
     # -- validation corruption (precomputed once) ---------------------------
 
     def precompute_corruption(self, seed: int = 42,

@@ -42,8 +42,8 @@ from ..utils.registry import missing_stats
 from . import checkpoint as ckpt
 from .state import (TrainState, freeze_mask_for_graft, linear_decay_lrs,
                     step_drop_lrs)
-from .steps import (build_model, make_eval_step, make_predict_fn,
-                    make_train_step)
+from .steps import (build_model, make_chained_train_step, make_eval_step,
+                    make_predict_fn, make_train_step)
 
 _REGIME_VARIANT = {"a1": "plain", "a2": "cycle", "a3": "embedding",
                    "a4": "plain"}
@@ -344,6 +344,10 @@ def train(cfg: Config, train_ds: Optional[KeypointDataset] = None,
 
     train_step = make_train_step(model, cfg, stats, first_model, freeze_mask)
     eval_step = make_eval_step(model, cfg, first_model)
+    chained_step = None
+    if getattr(cfg.train, "chain_steps", True):
+        chained_step = make_chained_train_step(model, cfg, stats,
+                                               first_model, freeze_mask)
     # plot rendering drives the model with per-video local jits, which a
     # multi-process run cannot do on mesh-sharded params
     save_plots = cfg.train.save_plots and not dist.is_multiprocess()
@@ -410,37 +414,57 @@ def train(cfg: Config, train_ds: Optional[KeypointDataset] = None,
         weights: List[np.ndarray] = []
         grad_norms: List = []   # wandb.watch analog (A1_train.py:251)
         param_norm = None
-        if use_dev_data:
-            stream = ((p["clean"], p["length"], jnp.asarray(w))
-                      for _, p, w in train_ds.device_batches(
-                          train_buckets, cfg.data.batch_size, shuffle=True,
-                          seed=cfg.train.seed + epoch))
+        if use_dev_data and chained_step is not None:
+            # device-side epoch chaining: ONE dispatch per bucket runs all
+            # its batches as a lax.scan (state as carry, batches gathered
+            # in-scan from the resident bucket) — per-batch dispatch costs
+            # ~15-20 ms of host marshaling through the tunnel (RESULTS.md).
+            # RNG/batch composition identical to the per-step path below.
+            extra = (first_params,) if regime == "a2" else ()
+            with jax.default_matmul_precision(precision):
+                for _, entry, rows, wts in train_ds.device_batch_plan(
+                        train_buckets, cfg.data.batch_size, shuffle=True,
+                        seed=cfg.train.seed + epoch):
+                    state, k_epoch, ms = chained_step(
+                        state, entry["clean"], entry["length"], rows, wts,
+                        k_epoch, jnp.float32(lr), *extra)
+                    per_video_losses.append(ms["per_video"].reshape(-1))
+                    weights.append(wts.reshape(-1))
+                    if "grad_norm" in ms:
+                        grad_norms.append(ms["grad_norm"])
+                        param_norm = ms["param_norm"][-1]
         else:
-            device = NamedSharding(mesh, P("data")) \
-                if mesh is not None else None
-            stream = prefetch_to_device(
-                train_ds.batches(cfg.data.batch_size, shuffle=True,
-                                 seed=cfg.train.seed + epoch),
-                transform=lambda b: (b.clean, b.length, b.weight),
-                device=device)
-        mesh_ctx = mesh if mesh is not None else contextlib.nullcontext()
-        with jax.default_matmul_precision(precision), mesh_ctx:
-            for clean, length, weight in stream:
-                k_epoch, k_step = jax.random.split(k_epoch)
-                if regime == "a2":
-                    state, m = train_step(state, clean, length, weight,
-                                          k_step, jnp.float32(lr),
-                                          first_params)
-                else:
-                    state, m = train_step(state, clean, length, weight,
-                                          k_step, jnp.float32(lr))
-                # keep device arrays; conversion at epoch end preserves
-                # async dispatch (no per-step host sync)
-                per_video_losses.append(m["per_video"])
-                weights.append(weight)
-                if "grad_norm" in m:
-                    grad_norms.append(m["grad_norm"])
-                    param_norm = m["param_norm"]
+            if use_dev_data:
+                stream = ((p["clean"], p["length"], jnp.asarray(w))
+                          for _, p, w in train_ds.device_batches(
+                              train_buckets, cfg.data.batch_size,
+                              shuffle=True, seed=cfg.train.seed + epoch))
+            else:
+                device = NamedSharding(mesh, P("data")) \
+                    if mesh is not None else None
+                stream = prefetch_to_device(
+                    train_ds.batches(cfg.data.batch_size, shuffle=True,
+                                     seed=cfg.train.seed + epoch),
+                    transform=lambda b: (b.clean, b.length, b.weight),
+                    device=device)
+            mesh_ctx = mesh if mesh is not None else contextlib.nullcontext()
+            with jax.default_matmul_precision(precision), mesh_ctx:
+                for clean, length, weight in stream:
+                    k_epoch, k_step = jax.random.split(k_epoch)
+                    if regime == "a2":
+                        state, m = train_step(state, clean, length, weight,
+                                              k_step, jnp.float32(lr),
+                                              first_params)
+                    else:
+                        state, m = train_step(state, clean, length, weight,
+                                              k_step, jnp.float32(lr))
+                    # keep device arrays; conversion at epoch end preserves
+                    # async dispatch (no per-step host sync)
+                    per_video_losses.append(m["per_video"])
+                    weights.append(weight)
+                    if "grad_norm" in m:
+                        grad_norms.append(m["grad_norm"])
+                        param_norm = m["param_norm"]
 
         pv = dist.gather_concat(per_video_losses)
         w = dist.gather_concat(weights)
@@ -551,8 +575,10 @@ def train(cfg: Config, train_ds: Optional[KeypointDataset] = None,
 
         watch = {}
         if grad_norms:
-            watch = {"grad_norm": float(np.mean(
-                         [float(g) for g in grad_norms])),
+            # per-step scalars (per-step path) or (n,) stacks (chained)
+            watch = {"grad_norm": float(np.mean(np.concatenate(
+                         [np.atleast_1d(np.asarray(g))
+                          for g in grad_norms]))),
                      "param_norm": float(param_norm)}
         logger.log(epoch, train_loss=train_loss, val_loss=val_loss,
                    minimun_loss=min_loss, lr=lr, epoch=epoch, **watch)

@@ -212,9 +212,9 @@ def cycle_forward(first_model, first_params, model, params,
 # step builders
 # ---------------------------------------------------------------------------
 
-def make_train_step(model, cfg, stats, first_model=None,
-                    freeze_mask=None) -> Callable:
-    """Build the jitted train step for cfg.train.regime.
+def _build_train_step(model, cfg, stats, first_model=None,
+                      freeze_mask=None) -> Callable:
+    """The (unjitted) train-step body for cfg.train.regime.
 
     Signature: step(state, clean, length, weight, key, lr,
                     [first_params]) -> (state, metrics)
@@ -320,7 +320,55 @@ def make_train_step(model, cfg, stats, first_model=None,
     else:
         raise ValueError(f"unknown regime {regime!r}")
 
+    return step
+
+
+def make_train_step(model, cfg, stats, first_model=None,
+                    freeze_mask=None) -> Callable:
+    """Jitted per-batch train step (see _build_train_step)."""
+    step = _build_train_step(model, cfg, stats, first_model, freeze_mask)
     return jax.jit(step, donate_argnums=(0,))
+
+
+def make_chained_train_step(model, cfg, stats, first_model=None,
+                            freeze_mask=None) -> Callable:
+    """Device-side epoch chaining: ONE dispatch runs a whole bucket's
+    batches as a ``lax.scan`` over the per-batch train step, with the
+    train state as the carry and each batch gathered from the
+    device-resident bucket inside the scan.
+
+    Measured motivation (RESULTS.md round 4): one jitted call passing the
+    ~350-leaf train state costs ~15-20 ms of HOST dispatch through the
+    tunnel — comparable to the device work itself at flagship B=64.
+    Chaining pays it once per bucket per epoch instead of once per batch.
+
+    The RNG stream is IDENTICAL to the per-step path: the scan carries
+    the epoch key and splits it per batch exactly as the loop does
+    (``k_epoch, k_step = split(k_epoch)``), so chained and per-step runs
+    (e.g. the DP-equivalence and resume tests) produce the same draws.
+
+    Signature: chained(state, bucket_clean, bucket_length,
+                       rows (n, B) int32, weights (n, B) f32, key, lr,
+                       [first_params]) -> (state, key, stacked_metrics)
+    """
+    step = _build_train_step(model, cfg, stats, first_model, freeze_mask)
+
+    def chained(state, bucket_clean, bucket_length, rows, weights, key,
+                lr, *extra):
+        def body(carry, xs):
+            st, k = carry
+            r, w = xs
+            clean = jnp.take(bucket_clean, r, axis=0)
+            length = jnp.take(bucket_length, r, axis=0)
+            k, k_step = jax.random.split(k)
+            st, m = step(st, clean, length, w, k_step, lr, *extra)
+            return (st, k), m
+
+        (state, key), ms = jax.lax.scan(body, (state, key),
+                                        (rows, weights))
+        return state, key, ms
+
+    return jax.jit(chained, donate_argnums=(0,))
 
 
 def make_predict_fn(model, cfg, first_model=None) -> Callable:

@@ -145,6 +145,14 @@ class TrainConfig:
     # pallas fused masked-loss kernel (ops/pallas/masked_loss.py) for the
     # per-video criterion inside the train step; TPU backend only
     fused_loss: bool = False
+    # device-side epoch chaining: run each device-resident bucket's
+    # batches as ONE lax.scan dispatch (state as carry) instead of one
+    # jitted call per batch — a step call passing the ~350-leaf train
+    # state costs ~15-20 ms of host marshaling through the TPU tunnel
+    # (RESULTS.md round 4).  RNG/batch composition are identical to the
+    # per-step path.  Applies when device_resident_data is active
+    # (single-process); mesh runs keep per-step dispatch.
+    chain_steps: bool = True
 
     def effective_early_stop(self) -> bool:
         if self.early_stop is None:
