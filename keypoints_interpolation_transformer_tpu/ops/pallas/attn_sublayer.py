@@ -55,9 +55,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .attention import (LOG2E as _LOG2E, _bias_terms_T, _dot, _head_group,
-                        _mxu_mode, _prep, _prob_dot, _prob_parts,
-                        _slice_parts, _xla_attention)
+from .attention import (LOG2E as _LOG2E, _PROB_SPLIT, _bias_terms_T, _dot,
+                        _head_group, _mxu_mode, _prep, _prob_dot,
+                        _prob_parts, _slice_parts, _xla_attention)
 
 LN_EPS = 1e-5
 
@@ -180,21 +180,29 @@ def _sublayer_train_kernel(x_ref, mem_ref, mask_ref, valid_ref, *rest,
     (q, k, v, a, probs[, r]) for the native backward.
 
     ``save_probs=False`` (256 < T <= _MAX_T, where the (T, H*T) probs
-    block outgrows scoped VMEM) omits the probs residual; the backward
-    then recomputes each head's softmax from the saved q/k (see
-    _sublayer_bwd_kernel's recompute mode)."""
+    block outgrows scoped VMEM) omits the probs residual, the
+    attention-output residual ``a`` AND the query residual ``q``; the
+    backward then recomputes q from x (one projection) and each head's
+    softmax + `a` tile from q/k/v (see _sublayer_bwd_kernel's recompute
+    mode).  Each dropped residual saves a (B, T, D) f32 HBM write here
+    and a double-buffered pipeline row (2 MB at T=512) in the backward
+    — measured on chip, the `a` row alone put the post-LN self-attention
+    backward 516 KB over the 16 MB scoped-VMEM limit, and the q row put
+    the cross-attention backward 2.17 MB over."""
     w_refs = rest[:n_w]
     b_refs = rest[n_w:n_w + 4]
-    n_out = (6 if save_probs else 5) + (1 if post_ln else 0)
+    n_out = (6 if save_probs else 3) + (1 if post_ln else 0)
     ln_refs = rest[n_w + 4:-n_out]
     outs = rest[-n_out:]
     if save_probs:
         o_ref, q_ref, k_ref, v_ref, a_ref, w_ref = outs[:6]
         r_ref = outs[6] if post_ln else None
     else:
-        o_ref, q_ref, k_ref, v_ref, a_ref = outs[:5]
+        o_ref, k_ref, v_ref = outs[:3]
+        q_ref = None
+        a_ref = None
         w_ref = None
-        r_ref = outs[5] if post_ln else None
+        r_ref = outs[3] if post_ln else None
     per = n_w // 4
     wq, wk, wv, wo = (tuple(r[...] for r in w_refs[i * per:(i + 1) * per])
                       for i in range(4))
@@ -219,10 +227,11 @@ def _sublayer_train_kernel(x_ref, mem_ref, mask_ref, valid_ref, *rest,
         else:
             a = _attn_core(q * qs, k, v, bias, heads, dh, mode)
         r = x + _proj(_prep(a, mode), wo, bo_, mode)
-        q_ref[b] = q
         k_ref[b] = k
         v_ref[b] = v
-        a_ref[b] = a
+        if save_probs:
+            q_ref[b] = q
+            a_ref[b] = a
         # probs residual in bf16 under the fast modes: halves the largest
         # residual's HBM traffic, and matches the forward's bf16
         # probability-feed error model (the AV matmul already consumes
@@ -331,9 +340,14 @@ def _fwd_pallas(x, memory, params, mask, valid, kind, add_keypad, post_ln,
                 has_valid=has_valid, save_probs=save_probs)
 
         f32row = jax.ShapeDtypeStruct((B, T, D), jnp.float32)
-        out_shape = [jax.ShapeDtypeStruct(x.shape, x.dtype),
-                     f32row, f32row, f32row, f32row]
-        out_specs = [row_spec] * 5
+        if save_probs:        # outputs o, q, k, v, a, w (+r)
+            out_shape = [jax.ShapeDtypeStruct(x.shape, x.dtype),
+                         f32row, f32row, f32row, f32row]
+            out_specs = [row_spec] * 5
+        else:                 # outputs o, k, v (+r); q/a/w rebuilt in bwd
+            out_shape = [jax.ShapeDtypeStruct(x.shape, x.dtype),
+                         f32row, f32row]
+            out_specs = [row_spec] * 3
         if save_probs:
             prob_spec = pl.BlockSpec((bb, T, heads * T),
                                      lambda b: (b, 0, 0),
@@ -358,9 +372,11 @@ def _fwd_pallas(x, memory, params, mask, valid, kind, add_keypad, post_ln,
             y, q, k, v, a, w = outs[:6]
             r = outs[6] if post_ln else None
         else:
-            y, q, k, v, a = outs[:5]
+            y, k, v = outs[:3]
+            q = None
+            a = None
             w = None
-            r = outs[5] if post_ln else None
+            r = outs[3] if post_ln else None
         return y, (q, k, v, a, w, r)
 
     def kernel(x_ref, *refs):
@@ -402,13 +418,19 @@ def _sublayer_bwd_kernel(*refs, self_attn, post_ln, heads, dh, bb, mode,
     (same scaled-q bf16 split, exp2 softmax, bias build), per (T, T)
     head tile so only one tile is ever live."""
     from .ffn import _ln_bwd
-    x_ref, dy_ref, q_ref, k_ref, v_ref, a_ref = refs[:6]
     if recompute:
-        mask_ref, valid_ref = refs[6], refs[7]
+        # q is re-projected from x in-kernel; `a` is rebuilt per head
+        # tile — each saved residual row would cost 2 MB of
+        # double-buffered pipeline this kernel cannot afford at T=512
+        x_ref, dy_ref, k_ref, v_ref = refs[:4]
+        q_ref = None
+        a_ref = None
+        mask_ref, valid_ref = refs[4], refs[5]
         w_ref = None
-        idx = 8
+        idx = 6
     else:
-        w_ref = refs[6]
+        x_ref, dy_ref, q_ref, k_ref, v_ref = refs[:5]
+        a_ref, w_ref = refs[5], refs[6]
         idx = 7
     mem_ref = None
     if not self_attn:
@@ -420,10 +442,19 @@ def _sublayer_bwd_kernel(*refs, self_attn, post_ln, heads, dh, bb, mode,
         idx += 1
     w_refs = refs[idx:idx + n_w]
     idx += n_w
+    bq_ref = None
+    if recompute:
+        bq_ref = refs[idx]               # q-projection bias (re-proj)
+        idx += 1
     if post_ln:
         g_r = refs[idx]
         idx += 1
-    outs = refs[idx:]
+    if recompute:
+        # VMEM scratch accumulators (dq/dk/dv/a/q/da)
+        dq_s, dk_s, dv_s, a_s, q_s, da_s = refs[-6:]
+        outs = refs[idx:-6]
+    else:
+        outs = refs[idx:]
     oi = 0
     dx_ref = outs[oi]
     oi += 1
@@ -458,79 +489,186 @@ def _sublayer_bwd_kernel(*refs, self_attn, post_ln, heads, dh, bb, mode,
             dbe_ref[...] += jnp.sum(dy, axis=0, keepdims=True)
         else:
             dr = dy
-        a = a_ref[b]
         drp = _prep(dr, mode)
         dbo_ref[...] += jnp.sum(dr, axis=0, keepdims=True)
-        dwo_ref[...] += _dot(_prep(a, mode), drp, ((0,), (0,)), mode)
+        if not recompute:
+            # dWo from the saved attention-output residual; the
+            # recompute branch rebuilds `a` per head tile below and
+            # accumulates dWo after the head loop instead
+            dwo_ref[...] += _dot(_prep(a_ref[b], mode), drp,
+                                 ((0,), (0,)), mode)
         da = _dot(drp, wo, ((1,), (1,)), mode)            # dr @ Wo^T
-        qp = _prep(q_ref[b], mode)
-        kp = _prep(k_ref[b], mode)
-        vp = _prep(v_ref[b], mode)
+        if not recompute:
+            # full-width part splits; the recompute branch instead reads
+            # per-head slices straight off the residual refs (the four
+            # (T, D) splits cost ~2 MB of stack it cannot afford)
+            qp = _prep(q_ref[b], mode)
+            kp = _prep(k_ref[b], mode)
+            vp = _prep(v_ref[b], mode)
+            dap = _prep(da, mode)
         if recompute:
-            wprob = None
-            # the forward scaled q BEFORE the bf16 split (_attn_core got
-            # q * qscale); reproduce exactly so the rebuilt probs match
-            # the ones the forward's AV matmul consumed
-            qsc = _prep(q_ref[b].astype(jnp.float32) * (scale * _LOG2E),
-                        mode)
-            bias = _bias_terms_T(
-                mask_ref[b, 0], valid_ref[b, 0] if has_valid else None,
-                T, kind, add_keypad, 0, T, mul=_LOG2E)
+            # Query-blocked softmax rebuild.  Every reduction here (the
+            # softmax max/sum and the dL correction term) runs over the
+            # KEY axis (axis 0), so tiling the query axis is exact math.
+            # The full-width (Tk, Tq) rebuild measured 17.19 MB scoped
+            # VMEM at T=512 cross-attention — over the 16 MB limit.
+            # Two levers keep the blocked version inside budget: only
+            # (Tk, qb) tiles are ever live, and the per-(head, block)
+            # results are stored straight into the dq/dk/dv VMEM scratch
+            # refs so their live ranges END there (a pure-SSA version of
+            # this loop measured 21.4 MB — Mosaic's stack allocator does
+            # not reuse slots across long unrolled value chains).
+            qb = T if T <= _BWD_RECOMPUTE_QB else _BWD_RECOMPUTE_QB
+            # re-project q from x — same math (and same 3-partial dot)
+            # as the forward's projection; the saved-q residual row cost
+            # 2 MB of double-buffered pipeline (measured: it put the
+            # T=512 cross-attention backward 2.17 MB over budget)
+            q_s[...] = (_dot(_prep(x, mode), wq, ((1,), (0,)), mode)
+                        + bq_ref[0].astype(jnp.float32))
+            # da staged through scratch: the fori body below can only
+            # take dynamic (pl.ds) slices of REFS, not of SSA values
+            da_s[...] = da
+            da = None
+            # the j-loop is a lax.fori_loop (one traced body) when qb
+            # divides T: Mosaic's stack allocator does NOT reuse slots
+            # across unrolled iterations, and the unrolled form measured
+            # ~6 MB of loop stack at T=512 (17.59 MB total, compile-time
+            # OOM) where the rolled form fits
+            n_blk = T // qb
+            fori = (T % qb == 0) and n_blk > 1
+            for h in range(heads):
+                lo, hi = h * dh, (h + 1) * dh
+                kh = _prep(k_ref[b, :, lo:hi], mode)
+                vh = _prep(v_ref[b, :, lo:hi], mode)
+
+                def block(j0, jw, dk_h, dv_h, kh=kh, vh=vh, lo=lo, hi=hi):
+                    bias = _bias_terms_T(
+                        mask_ref[b, 0],
+                        valid_ref[b, 0] if has_valid else None,
+                        T, kind, add_keypad, j0, jw, mul=_LOG2E)
+                    # the forward scaled q BEFORE the bf16 split
+                    # (_attn_core got q * qscale); reproduce exactly so
+                    # the rebuilt probs match the ones the forward's AV
+                    # matmul consumed
+                    qsj = _prep(q_s[pl.ds(j0, jw), lo:hi]
+                                * (scale * _LOG2E), mode)
+                    st = _dot(kh, qsj, ((1,), (1,)), mode)  # (Tk, jw)
+                    if bias is not None:
+                        st = st + bias
+                    st = st - jnp.max(st, axis=0, keepdims=True)
+                    ex = jnp.exp2(st)
+                    wt = ex * (1.0 / jnp.sum(ex, axis=0, keepdims=True))
+                    if mode != "f32" and not _PROB_SPLIT:
+                        # the forward's AV matmul consumed bf16 probs;
+                        # reuse the SAME bf16 tile for the prob parts
+                        # below (one cast, one stack slot) instead of
+                        # a bf16->f32->bf16 round trip
+                        wb = wt.astype(jnp.bfloat16)
+                        wt = wb.astype(jnp.float32)
+                        wl = (wb,)
+                    else:
+                        if mode != "f32":
+                            wt = wt.astype(jnp.bfloat16).astype(
+                                jnp.float32)
+                        wl = _prob_parts(wt, mode)
+                    ghj = _prep(da_s[pl.ds(j0, jw), lo:hi], mode)
+                    # rebuild this (jw, dh) tile of the attention output
+                    # (same operands/feed as the forward AV matmul) —
+                    # dWo consumes it after the head loop, replacing the
+                    # saved `a` residual row
+                    a_s[pl.ds(j0, jw), lo:hi] = _prob_dot(
+                        wl, vh, ((0,), (0,)), mode)
+                    dv_h = dv_h + _prob_dot(wl, ghj, ((1,), (0,)), mode)
+                    gw = _dot(vh, ghj, ((1,), (1,)), mode)  # (Tk, jw)
+                    tmp = gw - jnp.sum(gw * wt, axis=0, keepdims=True)
+                    dl = _prep((wt * tmp) * scale, mode)
+                    dq_s[pl.ds(j0, jw), lo:hi] = _dot(
+                        dl, kh, ((0,), (0,)), mode)
+                    qhj = _prep(q_s[pl.ds(j0, jw), lo:hi], mode)
+                    dk_h = dk_h + _dot(dl, qhj, ((1,), (0,)), mode)
+                    return dk_h, dv_h
+
+                zkv = (jnp.zeros((T, dh), jnp.float32),
+                       jnp.zeros((T, dh), jnp.float32))
+                if fori:
+                    dk_h, dv_h = jax.lax.fori_loop(
+                        0, n_blk,
+                        lambda j, c: block(j * qb, qb, *c), zkv)
+                else:
+                    dk_h, dv_h = zkv
+                    for j0 in range(0, T, qb):
+                        dk_h, dv_h = block(j0, min(qb, T - j0),
+                                           dk_h, dv_h)
+                dk_s[:, lo:hi] = dk_h
+                dv_s[:, lo:hi] = dv_h
+            # dWo from the rebuilt attention output (the loop tiles are
+            # dead here, so this full-width read peaks below the loop)
+            dwo_ref[...] += _dot(_prep(a_s[...], mode), drp,
+                                 ((0,), (0,)), mode)
+            # dq/dk/dv stay in their scratch refs; the projection tail
+            # reads each JUST before its use so only one full-width
+            # gradient (and its part split) is ever live
+            dq = dk = dv = None
         else:
             wprob = w_ref[b]                              # (Tk, H*Tq) f32
-        dap = _prep(da, mode)
-        dqs, dks, dvs = [], [], []
-        for h in range(heads):
-            lo, hi = h * dh, (h + 1) * dh
-            gh = _slice_parts(dap, lo, hi)                # (Tq, dh)
-            vh = _slice_parts(vp, lo, hi)
-            qh = _slice_parts(qp, lo, hi)
-            kh = _slice_parts(kp, lo, hi)
-            if recompute:
-                qsh = _slice_parts(qsc, lo, hi)
-                st = _dot(kh, qsh, ((1,), (1,)), mode)    # (Tk, Tq)
-                if bias is not None:
-                    st = st + bias
-                st = st - jnp.max(st, axis=0, keepdims=True)
-                ex = jnp.exp2(st)
-                wt = ex * (1.0 / jnp.sum(ex, axis=0, keepdims=True))
-                if mode != "f32":
-                    # the forward's AV matmul consumed bf16 probs; the
-                    # saved-probs path reads them back as bf16 too
-                    wt = wt.astype(jnp.bfloat16).astype(jnp.float32)
-            else:
+            dqs, dks, dvs = [], [], []
+            for h in range(heads):
+                lo, hi = h * dh, (h + 1) * dh
+                gh = _slice_parts(dap, lo, hi)            # (Tq, dh)
+                vh = _slice_parts(vp, lo, hi)
+                qh = _slice_parts(qp, lo, hi)
+                kh = _slice_parts(kp, lo, hi)
                 wt = jax.lax.slice_in_dim(wprob, h * T, (h + 1) * T,
                                           axis=1).astype(jnp.float32)
-            wl = _prob_parts(wt, mode)
-            dvs.append(_prob_dot(wl, gh, ((1,), (0,)), mode))   # (Tk, dh)
-            gw = _dot(vh, gh, ((1,), (1,)), mode)               # (Tk, Tq)
-            tmp = gw - jnp.sum(gw * wt, axis=0, keepdims=True)
-            dl = _prep((wt * tmp) * scale, mode)
-            dqs.append(_dot(dl, kh, ((0,), (0,)), mode))        # (Tq, dh)
-            dks.append(_dot(dl, qh, ((1,), (0,)), mode))        # (Tk, dh)
-        dq = jnp.concatenate(dqs, axis=1)
-        dk = jnp.concatenate(dks, axis=1)
-        dv = jnp.concatenate(dvs, axis=1)
-        dbq_ref[...] += jnp.sum(dq, axis=0, keepdims=True)
-        dbk_ref[...] += jnp.sum(dk, axis=0, keepdims=True)
-        dbv_ref[...] += jnp.sum(dv, axis=0, keepdims=True)
+                wl = _prob_parts(wt, mode)
+                dvs.append(_prob_dot(wl, gh, ((1,), (0,)), mode))
+                gw = _dot(vh, gh, ((1,), (1,)), mode)     # (Tk, Tq)
+                tmp = gw - jnp.sum(gw * wt, axis=0, keepdims=True)
+                dl = _prep((wt * tmp) * scale, mode)
+                dqs.append(_dot(dl, kh, ((0,), (0,)), mode))  # (Tq, dh)
+                dks.append(_dot(dl, qh, ((1,), (0,)), mode))  # (Tk, dh)
+            dq = jnp.concatenate(dqs, axis=1)
+            dk = jnp.concatenate(dks, axis=1)
+            dv = jnp.concatenate(dvs, axis=1)
+        # One projection at a time so only that projection's part split
+        # and input-grad product are live — the all-at-once ordering
+        # (dqp/dkp/dvp + dxq/dxk/dxv simultaneously) held ~3 MB more
+        # stack and pushed the post-LN self-attention backward past the
+        # scoped-VMEM limit at T=512.
         xp = _prep(x, mode)
         mp = xp if self_attn else _prep(
             mem_ref[b].astype(jnp.float32), mode)
+        if recompute:
+            dq = dq_s[...]
+        dbq_ref[...] += jnp.sum(dq, axis=0, keepdims=True)
         dqp = _prep(dq, mode)
-        dkp = _prep(dk, mode)
-        dvp = _prep(dv, mode)
         dwq_ref[...] += _dot(xp, dqp, ((0,), (0,)), mode)
+        acc = dr + _dot(dqp, wq, ((1,), (1,)), mode)      # dq @ Wq^T
+        if recompute:
+            dk = dk_s[...]
+        dbk_ref[...] += jnp.sum(dk, axis=0, keepdims=True)
+        dkp = _prep(dk, mode)
         dwk_ref[...] += _dot(mp, dkp, ((0,), (0,)), mode)
-        dwv_ref[...] += _dot(mp, dvp, ((0,), (0,)), mode)
-        dxq = _dot(dqp, wq, ((1,), (1,)), mode)           # dq @ Wq^T
         dxk = _dot(dkp, wk, ((1,), (1,)), mode)
+        if self_attn:
+            acc = acc + dxk
+        else:
+            # stage the K-side memory gradient NOW so dxk's live range
+            # ends here instead of spanning the whole V block
+            dmem_ref[b] = dxk.astype(dmem_ref.dtype)
+        dxk = None
+        if recompute:
+            dv = dv_s[...]
+        dbv_ref[...] += jnp.sum(dv, axis=0, keepdims=True)
+        dvp = _prep(dv, mode)
+        dwv_ref[...] += _dot(mp, dvp, ((0,), (0,)), mode)
         dxv = _dot(dvp, wv, ((1,), (1,)), mode)
         if self_attn:
-            dx_ref[b] = (dr + dxq + dxk + dxv).astype(dx_ref.dtype)
+            dx_ref[b] = (acc + dxv).astype(dx_ref.dtype)
         else:
-            dx_ref[b] = (dr + dxq).astype(dx_ref.dtype)
-            dmem_ref[b] = (dxk + dxv).astype(dmem_ref.dtype)
+            dx_ref[b] = acc.astype(dx_ref.dtype)
+            dmem_ref[b] = (dmem_ref[b].astype(jnp.float32)
+                           + dxv).astype(dmem_ref.dtype)
 
 
 def _bwd_batch_block(B, T, D, heads):
@@ -577,14 +715,20 @@ def _bwd_pallas(x, memory, params, residuals, g, post_ln, heads,
         return pl.BlockSpec(shape, lambda b: (0,) * nd,
                             memory_space=pltpu.VMEM)
 
-    operands = [x, g, q, k, v, a]
-    specs = [row_spec] * 6
     if recompute:
+        # no `q`/`a` operands: the kernel re-projects q from x and
+        # rebuilds the attention output per head tile (each saved
+        # residual row costs 2 MB of double-buffered pipeline — q alone
+        # put the T=512 cross-attention backward 2.17 MB over budget)
+        operands = [x, g, k, v]
+        specs = [row_spec] * 4
         vec_spec = pl.BlockSpec((bb, 1, T), lambda b: (b, 0, 0),
                                 memory_space=pltpu.VMEM)
         operands += [mask[:, None, :], valid[:, None, :]]
         specs += [vec_spec, vec_spec]
     else:
+        operands = [x, g, q, k, v, a]
+        specs = [row_spec] * 6
         prob_spec = pl.BlockSpec((bb, T, heads * T), lambda b: (b, 0, 0),
                                  memory_space=pltpu.VMEM)
         operands.append(w)
@@ -597,6 +741,10 @@ def _bwd_pallas(x, memory, params, residuals, g, post_ln, heads,
         specs.append(row_spec)
     operands += w_ops
     specs += [const_spec(wx.shape) for wx in w_ops]
+    if recompute:
+        bqv = bq_.reshape(1, D).astype(jnp.float32)   # q re-projection
+        operands.append(bqv)
+        specs.append(const_spec(bqv.shape))
     if post_ln:
         gln = ln_scale.reshape(1, D).astype(jnp.float32)
         operands.append(gln)
@@ -625,6 +773,8 @@ def _bwd_pallas(x, memory, params, residuals, g, post_ln, heads,
         in_specs=specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
+        scratch_shapes=([pltpu.VMEM((T, D), jnp.float32)] * 6
+                        if recompute else []),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
     )(*operands)
@@ -694,8 +844,56 @@ _SUB_BWD_NATIVE = _os.environ.get("KIT_ATTN_SUBLAYER_BWD", "1") == "1"
 # tensors (f32-element accounting, matching the forward's bb gate)
 _PROBS_RESIDUAL_BYTES = 1 << 21
 
+# recompute-mode query-tile width: scratch per (head, block) step is
+# ~8 (Tk, qb) f32 tiles.  128 keeps the lane dim at one full register
+# tile; SHRINKING it is counterproductive — measured on chip at T=512,
+# qb=64 grew the stack (16.72 MB vs 16.50 MB at qb=128) because Mosaic
+# does not reuse slots across the extra unrolled iterations.  The fit
+# came instead from dropping the `a` residual row and reading dq/dk/dv
+# just-in-time in the projection tail.
+_BWD_RECOMPUTE_QB = 128
 
-def _sub_bwd_mode(dtype, T, heads) -> Optional[str]:
+
+def _bwd_vmem_model(mode, T, D, heads, recompute, self_attn, post_ln):
+    """Modeled scoped-VMEM bytes for one backward grid cell (bb=1).
+
+    A calibrated proxy, not an exact Mosaic accounting: double-buffered
+    row operands + stationary weights/accumulators + the dominant live
+    scratch + a measured tail term.  Chip calibration points at T=512:
+    the UNBLOCKED recompute rebuild measured 17.19 MB scoped
+    (compile-time OOM); qb=128 query blocking left post-LN
+    self-attention at 16.50 MB (still OOM, and the tail term below is
+    fit to that number); qb=64 compiles and runs.  Future wider shapes
+    (D, heads, T) fall back to the XLA recompute VJP instead of failing
+    to compile."""
+    rows = ((4 if recompute else 6)                              # inputs
+            + (0 if self_attn else 1) + (1 if post_ln else 0)
+            + 1 + (0 if self_attn else 1))                       # outputs
+    pipeline = rows * T * D * 4 * 2                   # double-buffered
+    wbytes = {"bf16x3": 8 * D * D * 2, "bf16": 4 * D * D * 2,
+              "f32": 4 * D * D * 4}[mode]
+    acc = 4 * D * D * 4                               # f32 dW accumulators
+    # tail liveness the loop cannot end early: dr/da/acc f32 rows plus
+    # their bf16x3 part splits, and the LN backward's n2/dy rows when
+    # post_ln (fit to the 16.50 MB measurement above)
+    tail = (3 + (2 if post_ln else 0)) * T * D * 4
+    if recompute:
+        qb = min(T, _BWD_RECOMPUTE_QB)
+        scratch = 8 * T * qb * 4 + 6 * T * D * 4  # tiles + 6 (T,D) refs
+    else:
+        pipeline += T * heads * T * 4 * 2             # probs pipeline block
+        scratch = 4 * T * D * 4
+    return pipeline + wbytes + acc + tail + scratch
+
+
+# calibrated so the verified flagship shapes pass (T=512 cross-attention
+# models at ~15.8 MB and fits on-chip after query blocking) while clearly
+# over-budget widths fall back
+_BWD_VMEM_LIMIT = 16 << 20
+
+
+def _sub_bwd_mode(dtype, T, heads, D=256, self_attn=False,
+                  post_ln=True) -> Optional[str]:
     """Native-backward flavor for this shape, or None (XLA recompute VJP).
 
     "residual": the training forward saves the softmax probs and the
@@ -709,20 +907,27 @@ def _sub_bwd_mode(dtype, T, heads) -> Optional[str]:
     if not (_SUB_BWD_NATIVE and _mxu_mode(dtype) in ("bf16", "bf16x3")
             and _attention_platform() == "tpu"):
         return None
+    mode = _mxu_mode(dtype)
     if T * heads * T * 4 <= _PROBS_RESIDUAL_BYTES:
-        return "residual"
-    if T <= _MAX_T and T % 8 == 0:
+        if _bwd_vmem_model(mode, T, D, heads, False, self_attn,
+                           post_ln) <= _BWD_VMEM_LIMIT:
+            return "residual"
+        return None
+    if (T <= _MAX_T and T % 8 == 0
+            and _bwd_vmem_model(mode, T, D, heads, True, self_attn,
+                                post_ln) <= _BWD_VMEM_LIMIT):
         return "recompute"
     return None
 
 
-def _sub_bwd_native_ok(dtype, T, heads) -> bool:
-    return _sub_bwd_mode(dtype, T, heads) is not None
+def _sub_bwd_native_ok(dtype, T, heads, **kw) -> bool:
+    return _sub_bwd_mode(dtype, T, heads, **kw) is not None
 
 
 def _vjp_fwd(x, memory, params, masks, kind, add_keypad, post_ln, heads):
     mask, valid = masks
-    bwd_mode = _sub_bwd_mode(x.dtype, x.shape[1], heads)
+    bwd_mode = _sub_bwd_mode(x.dtype, x.shape[1], heads, D=x.shape[2],
+                             self_attn=memory is None, post_ln=post_ln)
     if bwd_mode is not None:
         out, res = _fwd_pallas(x, memory, params, mask, valid, kind,
                                add_keypad, post_ln, heads,

@@ -889,7 +889,20 @@ def test_sub_bwd_mode_shape_routing():
             assert asl._sub_bwd_mode(jnp.float32, 128, 8) == "residual"
             assert asl._sub_bwd_mode(jnp.float32, 256, 8) == "residual"
             assert asl._sub_bwd_mode(jnp.float32, 384, 8) == "recompute"
-            assert asl._sub_bwd_mode(jnp.float32, 512, 8) == "recompute"
+            # T=512: the three shapes training actually builds (encoder
+            # self pre-LN, decoder self post-LN, decoder cross pre-LN)
+            # all fit the chip-calibrated VMEM model and take the native
+            # recompute backward...
+            for self_attn, post_ln in ((True, False), (True, True),
+                                       (False, False)):
+                assert asl._sub_bwd_mode(
+                    jnp.float32, 512, 8, self_attn=self_attn,
+                    post_ln=post_ln) == "recompute"
+            # ...while the worst-case row count (cross + post-LN, which
+            # no trainer builds) models over the 16 MB scoped limit and
+            # falls back instead of OOMing at compile time
+            assert asl._sub_bwd_mode(jnp.float32, 512, 8,
+                                     self_attn=False, post_ln=True) is None
             assert asl._sub_bwd_mode(jnp.float32, 1024, 8) is None
         with jax.default_matmul_precision("highest"):
             assert asl._sub_bwd_mode(jnp.float32, 128, 8) is None
