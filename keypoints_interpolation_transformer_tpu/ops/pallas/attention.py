@@ -183,6 +183,40 @@ import os as _os
 # full split 1.1e-5.
 _PROB_SPLIT = _os.environ.get("KIT_ATTN_PROB_SPLIT", "0") == "1"
 
+# Wide-softmax max-subtraction.  KIT_ATTN_MAXSUB=0 SKIPS the per-query
+# max reduce + subtract passes over the wide score tensor (softmax is
+# shift-invariant; a +64 clamp folded into the exp2 pass keeps overflow
+# impossible since sum <= T * 2^64 << 2^127, and the denominator guard
+# sends fully-blocked query columns to exactly-zero probs instead of
+# the max-sub path's uniform-average-over-garbage).
+#
+# NOTE (round 5, measured): this was the remaining named softmax lever
+# ("fold the max-subtract into the bias pass") and it is NEUTRAL on the
+# chip — 0.479 vs 0.470 ms/layer (attention_bench, B=256 T=128, high),
+# i.e. the max+subtract passes are free: Mosaic overlaps the wide
+# elementwise/reduce phases with the MXU dots already.  Together with
+# the deferred-normalization result below, the conclusion is that the
+# attention core's ~9x gap over its MXU floor (0.47 ms vs ~54 us) is
+# NOT softmax-pass-count; the cost sits in the many skinny per-head
+# dot launches and their 32-lane operand slices (16 score/AV dots per
+# row block at bf16x3, contraction dim 32).  Next lever worth building:
+# fewer/wider dots per launch, not fewer VPU passes.  Default stays the
+# classic max-subtract (exactly XLA's softmax shift, incl. uniform
+# output over fully-blocked columns).
+_MAXSUB = _os.environ.get("KIT_ATTN_MAXSUB", "1") == "1"
+_EXP_CLAMP = 64.0
+
+
+def _softmax_wide(wide):
+    """Key-major softmax over axis 0 of the wide log2-domain scores."""
+    if _MAXSUB:
+        wide = wide - jnp.max(wide, axis=0, keepdims=True)
+        e = jnp.exp2(wide)
+        return e * (1.0 / jnp.sum(e, axis=0, keepdims=True))
+    e = jnp.exp2(jnp.minimum(wide, _EXP_CLAMP))
+    return e * (1.0 / (jnp.sum(e, axis=0, keepdims=True) + 1e-30))
+
+
 # NOTE (round 5, measured): DEFERRED softmax normalization — feeding the
 # MXU the unnormalized exp2 outputs and scaling each query's attention
 # output row by 1/rowsum afterwards — was built and measured ~2x SLOWER
@@ -192,6 +226,27 @@ _PROB_SPLIT = _os.environ.get("KIT_ATTN_PROB_SPLIT", "0") == "1"
 # reciprocal vector and its per-head row-slicing force relayouts that
 # cost far more than the one full-wide normalize multiply they remove.
 # Lane-major wide phases are the only fast shape for this softmax.
+
+
+# bf16x3 score dots as ONE contraction-stacked launch instead of three:
+# st = kh@qh + kh@ql + kl@qh == [kh|kh|kl] @ [qh|ql|qh] at K=96.  The
+# stacked operands duplicate only the (T, dh) head slices (12K elems),
+# NOT the wide prob tensor that made the 3-way _dot stack lose 1.6x;
+# a K=96 contraction drives 3/4 of the MXU's 128-deep array per pass
+# where the three K=32 launches each use 1/4.
+_SCORE_STACK = _os.environ.get("KIT_ATTN_SCORE_STACK", "0") == "1"
+
+
+def _score_dot(k_parts, q_parts, mode):
+    """Transposed (T, bq) score tile k_h q_h^T from prepped parts."""
+    if mode == "bf16x3" and _SCORE_STACK:
+        (kh, kl), (qh, ql) = k_parts, q_parts
+        ks = jnp.concatenate([kh, kh, kl], axis=1)
+        qs = jnp.concatenate([qh, ql, qh], axis=1)
+        return jax.lax.dot_general(ks, qs, ((((1,), (1,)), ((), ()))),
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.DEFAULT)
+    return _dot(k_parts, q_parts, ((1,), (1,)), mode)
 
 
 def _prob_parts(w, mode):
@@ -282,13 +337,10 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, valid_ref, o_ref, *,
             for h in range(g, g + hg):
                 qh = _slice_parts(q, h * dh, (h + 1) * dh)   # (BQ, dh)
                 kh = _slice_parts(k, h * dh, (h + 1) * dh)   # (T, dh)
-                st = _dot(kh, qh, ((1,), (1,)), mode)
+                st = _score_dot(kh, qh, mode)
                 sts.append(st if bias is None else st + bias)
             wide = sts[0] if hg == 1 else jnp.concatenate(sts, axis=1)
-            wide = wide - jnp.max(wide, axis=0, keepdims=True)
-            e = jnp.exp2(wide)
-            w = _prob_parts(e * (1.0 / jnp.sum(e, axis=0, keepdims=True)),
-                            mode)
+            w = _prob_parts(_softmax_wide(wide), mode)
             for i, h in enumerate(range(g, g + hg)):
                 wh = _slice_parts(w, i * rows, (i + 1) * rows)
                 vh = _slice_parts(v, h * dh, (h + 1) * dh)

@@ -57,7 +57,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .attention import (LOG2E as _LOG2E, _PROB_SPLIT, _bias_terms_T, _dot,
                         _head_group, _mxu_mode, _prep, _prob_dot,
-                        _prob_parts, _slice_parts, _xla_attention)
+                        _prob_parts, _score_dot, _slice_parts,
+                        _softmax_wide, _xla_attention)
 
 LN_EPS = 1e-5
 
@@ -113,12 +114,10 @@ def _attn_core(q, k, v, bias, heads, dh, mode, want_probs=False):
         for h in range(g, g + hg):
             qh = _slice_parts(qp, h * dh, (h + 1) * dh)
             kh = _slice_parts(kp, h * dh, (h + 1) * dh)
-            st = _dot(kh, qh, ((1,), (1,)), mode)
+            st = _score_dot(kh, qh, mode)
             sts.append(st if bias is None else st + bias)
         wide = sts[0] if hg == 1 else jnp.concatenate(sts, axis=1)
-        wide = wide - jnp.max(wide, axis=0, keepdims=True)
-        e = jnp.exp2(wide)
-        wf = e * (1.0 / jnp.sum(e, axis=0, keepdims=True))
+        wf = _softmax_wide(wide)
         if want_probs:
             probs.append(wf)
         w = _prob_parts(wf, mode)
